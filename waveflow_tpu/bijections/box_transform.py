@@ -1,0 +1,86 @@
+"""Box <-> unit-hypercube autoregressive coordinate transform.
+
+Maps sorted electron coordinates in [-L, L] to gap coordinates in [0,1]^n
+(reference: made.py:108-204).  Two variants:
+
+  * 'first': first coordinate anchored absolutely, subsequent dims are gaps
+    scaled by the space remaining to the right wall (made.py:118-154).
+  * 'mean': n-1 consecutive gaps scaled by shrinking free space, plus a
+    mean-position channel (made.py:156-197).  The reference's reverse is
+    hard-coded for 2 dimensions (TODO at made.py:188); here the inverse is
+    derived in closed form for any n:
+
+      forward:  s_0 = 2L, u_i = g_i / s_i, s_{i+1} = s_i - g_i  (gaps g)
+                u_{n-1} = (x_0 + L) / (2L - w),  w = sum g_i
+      inverse:  g_i = 2L u_i prod_{j<i} (1 - u_j)
+                x_0 = u_{n-1} (2L - w) - L,  x_{i+1} = x_i + g_i
+
+    which reduces exactly to the reference formula at n=2.
+
+All paths are vectorized with cumulative sums/products — no per-dimension
+Python loops in the fast (direct) direction.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+TOL = 1e-7  # num_tollerance, made.py:118
+
+
+def BoxTransformLayer(box_side=1.0, xu_coord_type='mean'):
+
+    def init_fun(rng, input_dim, **kwargs):
+        L = box_side
+
+        # ---- 'first' variant (made.py:118-154) --------------------------
+        def direct_first(params, x, **kwargs):
+            prev = x[:, :-1]
+            out0 = (x[:, 0] + L) / (2 * L)
+            rest = (x[:, 1:] - prev) / (L - prev + TOL)
+            outputs = jnp.concatenate([out0[:, None], rest], axis=1)
+            log_det = -jnp.log(2 * L) - jnp.log(L - prev + TOL).sum(-1)
+            return outputs, log_det
+
+        def inverse_first(params, u, **kwargs):
+            x0 = (u[:, 0] - 0.5) * 2 * L
+            cols = [x0]
+            for i in range(1, u.shape[-1]):
+                prev = cols[-1]
+                cols.append(u[:, i] * (L - prev) + prev)
+            return jnp.stack(cols, axis=1), 0
+
+        # ---- 'mean' variant (made.py:156-197, generalized inverse) ------
+        def direct_mean(params, x, **kwargs):
+            n = x.shape[-1]
+            gaps = x[:, 1:] - x[:, :-1]                       # (B, n-1)
+            consumed = jnp.concatenate(
+                [jnp.zeros_like(gaps[:, :1]), jnp.cumsum(gaps[:, :-1], axis=-1)],
+                axis=-1)
+            space_left = 2 * L - consumed                     # s_i
+            u_gaps = gaps / (space_left + TOL)
+            w = x[:, -1] - x[:, 0]
+            u_last = (x[:, 0] + L) / (2 * L - w + TOL)
+            outputs = jnp.concatenate([u_gaps, u_last[:, None]], axis=1)
+            log_det = (-jnp.log(space_left + TOL).sum(-1)
+                       - jnp.log(2 * L - w + TOL))
+            return outputs, log_det
+
+        def inverse_mean(params, u, **kwargs):
+            n = u.shape[-1]
+            one_minus = 1.0 - u[:, :-1]
+            prods = jnp.concatenate(
+                [jnp.ones_like(one_minus[:, :1]),
+                 jnp.cumprod(one_minus[:, :-1], axis=-1)], axis=-1)
+            gaps = 2 * L * u[:, :-1] * prods                   # g_i
+            w = gaps.sum(-1)
+            x0 = u[:, -1] * (2 * L - w) - L
+            xs = x0[:, None] + jnp.concatenate(
+                [jnp.zeros_like(x0[:, None]), jnp.cumsum(gaps, axis=-1)], axis=-1)
+            return xs, 0
+
+        if xu_coord_type == 'mean':
+            return (), direct_mean, inverse_mean
+        return (), direct_first, inverse_first
+
+    return init_fun

@@ -1,0 +1,78 @@
+"""IMADE — the invertible monotone autoregressive spline layer.
+
+The core bijection of the framework (reference: made.py:44-105): a masked
+autoregressive conditioner emits per-dimension I-spline weight vectors; the
+forward map evaluates the monotone I-spline per coordinate with the log-det
+as the sum of log spline derivatives; the inverse runs a dimension-sequential
+batched monotone inversion (fixed-iteration bisection + Newton, see
+ops/inverse.py — replaces the per-sample while-loop binary search of
+helpers.py:150-166).
+
+TPU-first differences from the reference:
+  * spline parameters computed once as a (batch, dim, n_bases) tensor and
+    evaluated through the fused table kernel (ops/spline_eval.py) rather
+    than a Python-unrolled per-basis sum;
+  * boundary projection and bias removal are trace-time-unrolled static
+    linear ops (ops/boundary.py);
+  * the inverse's bisection trip count is static, keeping the whole layer a
+    single fused XLA computation with no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from waveflow_tpu.ops import (
+    batched_monotone_inverse, get_tables, make_bias_remover,
+    make_boundary_projector, make_evaluator,
+)
+
+LOG_TOL = 1e-7  # matches made.py:79
+
+
+def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
+          spline_regularization=0.0, reverse_fun_tol=1e-6,
+          constraints_dict_left={0: 0.0}, constraints_dict_right={0: 1.0},
+          set_nn_output_grad_to_zero=False, n_spline_base_mesh_points=2000):
+
+    # static bisection count meeting (far exceeding) the tolerance contract
+    import math
+    n_bisect = max(20, min(40, int(math.ceil(-math.log2(max(reverse_fun_tol, 1e-12))))))
+
+    def init_fun(rng, input_dim, **kwargs):
+        tabs = get_tables('I', spline_degree, n_internal_knots,
+                          n_mesh=n_spline_base_mesh_points)
+        ev = make_evaluator(tabs)
+        project = make_boundary_projector(
+            ev, constraints_dict_left, constraints_dict_right,
+            normalization='sum', ispline_right_convention=True)
+        debias = make_bias_remover(ev.n_bases, spline_degree, 'I')
+
+        params, cond_apply = conditioner_factory(
+            rng, input_dim, ev.n_bases,
+            set_nn_output_grad_to_zero=set_nn_output_grad_to_zero)
+
+        def spline_params(params, inputs):
+            p = cond_apply(params, inputs) + spline_regularization
+            p = debias(p)
+            return project(p)                      # (B, D, n_bases)
+
+        def direct_fun(params, inputs, **kwargs):
+            sp = spline_params(params, inputs)
+            outputs = ev(sp, inputs)               # (B, D)
+            deriv = ev(sp, inputs, d=1)
+            log_det = jnp.log(deriv + LOG_TOL).sum(-1)
+            return outputs, log_det
+
+        def inverse_fun(params, inputs, **kwargs):
+            outputs = jnp.zeros_like(inputs)
+            for i_col in range(inputs.shape[-1]):
+                sp = spline_params(params, outputs)
+                col = batched_monotone_inverse(
+                    ev, sp[:, i_col], inputs[:, i_col], n_bisect=n_bisect)
+                outputs = outputs.at[:, i_col].set(col)
+            return outputs, 0
+
+        return params, direct_fun, inverse_fun
+
+    return init_fun

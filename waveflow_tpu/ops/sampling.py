@@ -1,0 +1,122 @@
+"""Exact inverse-CDF samplers for spline densities (batched, no rejection).
+
+The reference samples M-spline priors and squared-B-spline conditionals with
+per-sample accept/reject `lax.while_loop`s (msplines_jax.py:129-154,
+bsplines_jax.py:144-169) — data-dependent trip counts that serialize on TPU
+and waste proposals.  The runtime density is, by construction, the *linearly
+interpolated table* (see ops/spline_eval.py), i.e. piecewise linear in x for
+M-splines and the square of a piecewise-linear ψ for B²-splines.  Both admit
+closed-form cell masses, so we sample exactly:
+
+  1. density at all mesh nodes: one (batch, n_bases) @ (n_bases, n_mesh)
+     matmul (MXU);
+  2. per-cell masses in closed form (trapezoid for linear, exact cubic
+     integral for ψ²); prefix-sum CDF; normalize;
+  3. u ~ U(0,1): locate the cell by batched binary search, invert the
+     monotone in-cell mass polynomial (quadratic solve / Newton-safe
+     bisection for the cubic).
+
+This is exact for the runtime density (not an approximation to it), fixed
+shape, and one fused kernel per batch instead of a walker-serial loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from waveflow_tpu.ops.spline_eval import SplineEvaluator
+
+
+def _searchsorted_cells(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Index j of the cell with cdf[j] <= u < cdf[j+1], batched.
+
+    cdf: (..., P) nondecreasing per row with cdf[...,0]=0; u: (...,).
+    """
+    P = cdf.shape[-1]
+    idx = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side='right'))(
+        cdf.reshape(-1, P), u.reshape(-1)).reshape(u.shape)
+    return jnp.clip(idx - 1, 0, P - 2)
+
+
+def sample_linear_density(evaluator: SplineEvaluator,
+                          coeffs: jnp.ndarray,
+                          u: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF sample of the piecewise-linear density  d(x) = w·T(x).
+
+    coeffs: (B, n_bases) nonnegative-weight spline coefficients (M-splines);
+    u: (B,) uniforms in [0,1).  Returns x: (B,) exact samples of the
+    normalized table-interpolated density.
+    """
+    dens = jnp.maximum(evaluator.density_on_mesh(coeffs), 0.0)   # (B, P)
+    P = dens.shape[-1]
+    h = 1.0 / (P - 1)
+    d_l = dens[..., :-1]
+    d_r = dens[..., 1:]
+    masses = 0.5 * (d_l + d_r) * h                               # (B, P-1)
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(masses[..., :1]), jnp.cumsum(masses, axis=-1)], axis=-1)
+    total = cdf[..., -1:]
+    target = u * total[..., 0]
+    j = _searchsorted_cells(cdf, target)
+    q = target - jnp.take_along_axis(cdf, j[..., None], axis=-1)[..., 0]
+    a = jnp.take_along_axis(d_l, j[..., None], axis=-1)[..., 0]
+    b = jnp.take_along_axis(d_r, j[..., None], axis=-1)[..., 0] - a
+    # solve h*(a s + b s^2/2) = q for s in [0,1]
+    qn = q / h
+    disc = jnp.sqrt(jnp.maximum(a * a + 2.0 * b * qn, 0.0))
+    s_quad = (disc - a) / jnp.where(jnp.abs(b) < 1e-12, 1.0, b)
+    s_lin = qn / jnp.maximum(a, 1e-12)
+    s = jnp.where(jnp.abs(b) < 1e-12, s_lin, s_quad)
+    s = jnp.clip(s, 0.0, 1.0)
+    return (j + s) * h
+
+
+def sample_squared_amplitude(evaluator: SplineEvaluator,
+                             coeffs: jnp.ndarray,
+                             u: jnp.ndarray,
+                             n_bisect: int = 24,
+                             n_newton: int = 2) -> jnp.ndarray:
+    """Inverse-CDF sample of p(x) ∝ (w·T(x))², ψ piecewise linear.
+
+    Replaces the squared-B-spline rejection sampler (bsplines_jax.py:144-169).
+    In-cell mass is the exact cubic  m(s) = h(ψ_l² s + ψ_l Δ s² + Δ² s³/3);
+    inverted by bisection + Newton (monotone since m'(s) = h ψ(s)² >= 0).
+    """
+    psi = evaluator.density_on_mesh(coeffs)                      # (B, P)
+    P = psi.shape[-1]
+    h = 1.0 / (P - 1)
+    p_l = psi[..., :-1]
+    p_r = psi[..., 1:]
+    delta = p_r - p_l
+    masses = h * (p_l * p_l + p_l * delta + delta * delta / 3.0)
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(masses[..., :1]), jnp.cumsum(masses, axis=-1)], axis=-1)
+    total = cdf[..., -1:]
+    target = u * total[..., 0]
+    j = _searchsorted_cells(cdf, target)
+    q = target - jnp.take_along_axis(cdf, j[..., None], axis=-1)[..., 0]
+    a = jnp.take_along_axis(p_l, j[..., None], axis=-1)[..., 0]
+    d = jnp.take_along_axis(delta, j[..., None], axis=-1)[..., 0]
+
+    def mass(s):
+        return h * (a * a * s + a * d * s * s + d * d * s ** 3 / 3.0)
+
+    def dmass(s):
+        v = a + d * s
+        return h * v * v
+
+    lo = jnp.zeros_like(q)
+    hi = jnp.ones_like(q)
+
+    def body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        gt = mass(mid) > q
+        return jnp.where(gt, lo, mid), jnp.where(gt, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+    s = 0.5 * (lo + hi)
+    for _ in range(n_newton):
+        s = jnp.clip(s - (mass(s) - q) / jnp.maximum(dmass(s), 1e-14), lo, hi)
+    return (j + s) * h
