@@ -1,0 +1,42 @@
+"""He-1d VMC training — the flagship run (cf. examples/run_vqmc.py in the
+reference: He, L=12 box there; the data-submission baseline uses L=10,
+batch 256).
+
+Usage:
+  python examples/run_vqmc.py --system He --box-length 10 --batch-size 256 \
+      --num-epochs 100000
+"""
+
+import argparse
+
+from waveflow_tpu.vmc import VMCConfig, VMCTrainer
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--system', default='He')
+    p.add_argument('--box-length', type=float, default=10.0)
+    p.add_argument('--batch-size', type=int, default=256)
+    p.add_argument('--num-epochs', type=int, default=100_000)
+    p.add_argument('--learning-rate', type=float, default=1e-4)
+    p.add_argument('--spline-degree', type=int, default=6)
+    p.add_argument('--num-knots', type=int, default=23)
+    p.add_argument('--n-flow-layers', type=int, default=3)
+    p.add_argument('--log-every', type=int, default=2000)
+    p.add_argument('--save-dir', default=None)
+    p.add_argument('--restart', action='store_true')
+    args = p.parse_args()
+
+    cfg = VMCConfig(system_name=args.system, box_length=args.box_length,
+                    batch_size=args.batch_size, num_epochs=args.num_epochs,
+                    learning_rate=args.learning_rate,
+                    spline_degree=args.spline_degree,
+                    num_knots=args.num_knots,
+                    n_flow_layers=args.n_flow_layers,
+                    log_every=args.log_every, save_dir=args.save_dir)
+    trainer = VMCTrainer(cfg)
+    trainer.train(restart=args.restart)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,116 @@
+"""Model-level tests: Waveflow normalization, psi/log_pdf consistency,
+ancestral sampling, and MFlow density sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waveflow_tpu.models import get_model, get_waveflow_model
+
+RNG = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def waveflow_2p():
+    L = 4.0
+    init = get_waveflow_model(2, base_spline_degree=5, i_spline_degree=5,
+                              n_prior_internal_knots=12, n_i_internal_knots=12,
+                              i_spline_reg=0.1, n_flow_layers=2, box_size=L,
+                              xu_coord_type='mean',
+                              n_spline_base_mesh_points=800)
+    params, psi, log_pdf, sample = init(RNG, 2)
+    return L, params, psi, log_pdf, sample
+
+
+def test_psi_log_pdf_consistency(waveflow_2p):
+    L, params, psi, log_pdf, _ = waveflow_2p
+    x = jnp.sort(jax.random.uniform(RNG, (32, 2), minval=-L * 0.9,
+                                    maxval=L * 0.9), axis=-1)
+    lp = log_pdf(params, x)
+    ps = psi(params, x)
+    # |psi|^2 == exp(log_pdf) up to the log-tolerance epsilon
+    np.testing.assert_allclose(np.asarray(ps ** 2), np.asarray(jnp.exp(lp)),
+                               rtol=2e-2, atol=1e-5)
+
+
+def test_psi_normalized_on_sorted_sector(waveflow_2p):
+    """∫_{x1<x2} 2  psi² dx = 1: psi is exactly normalized by construction
+    (squared orthonormal prior + flow change of variables)."""
+    L, params, psi, _, _ = waveflow_2p
+    n = 220
+    xs = np.linspace(-L, L, n)
+    X1, X2 = np.meshgrid(xs, xs, indexing='ij')
+    grid = jnp.asarray(np.stack([X1.ravel(), X2.ravel()], -1))
+    grid_sorted = jnp.sort(grid, axis=-1)
+    vals = np.asarray(psi(params, grid_sorted)) ** 2
+    integral = vals.reshape(n, n).sum() * (2 * L / n) ** 2
+    # grid covers both orderings; sorted-sector psi has the /2 factor on the
+    # constrained dim so the full-square integral is 1
+    np.testing.assert_allclose(integral, 1.0, rtol=5e-2)
+
+
+def test_psi_vanishes_at_coincidence_and_walls(waveflow_2p):
+    L, params, psi, _, _ = waveflow_2p
+    xs = np.linspace(-L * 0.9, L * 0.9, 50)
+    coincident = jnp.asarray(np.stack([xs, xs], -1))
+    vals = np.asarray(psi(params, coincident))
+    assert np.abs(vals).max() < 5e-2, "psi should vanish when x1 == x2"
+    # box walls
+    wall = jnp.asarray(np.stack([np.full(50, -L), xs], -1))
+    vals_wall = np.asarray(psi(params, jnp.sort(wall, axis=-1)))
+    assert np.abs(vals_wall).max() < 5e-2, "psi should vanish on the wall"
+
+
+def test_waveflow_sampling_matches_density(waveflow_2p):
+    L, params, psi, log_pdf, sample = waveflow_2p
+    n_samples = 4000
+    samples = np.asarray(sample(jax.random.PRNGKey(1), params, n_samples))
+    assert samples.shape == (n_samples, 2)
+    assert (samples >= -L - 1e-3).all() and (samples <= L + 1e-3).all()
+    # sorted gap structure: samples come out sorted ascending
+    assert (np.diff(samples, axis=-1) >= -1e-4).all()
+    # compare mean log-density of samples against model expectation:
+    # E_{x~|psi|^2}[log p(x)] should be close to the grid-weighted average
+    lp_samples = np.asarray(log_pdf(params, jnp.asarray(samples))).mean()
+    n = 160
+    xs = np.linspace(-L, L, n)
+    X1, X2 = np.meshgrid(xs, xs, indexing='ij')
+    grid = jnp.sort(jnp.asarray(np.stack([X1.ravel(), X2.ravel()], -1)), -1)
+    lp_grid = np.asarray(log_pdf(params, grid))
+    p_grid = np.exp(lp_grid)
+    expect = (p_grid * lp_grid).sum() / p_grid.sum()
+    assert abs(lp_samples - expect) < 0.1, (lp_samples, expect)
+
+
+def test_mflow_density_integrates_to_one():
+    # I-spline boundary constraints pin the flow onto [0,1] (without them the
+    # image is [w_0, 1-w_last] and mass falls outside — same in the reference)
+    init = get_model(base_spline_degree=4, i_spline_degree=4,
+                     n_prior_internal_knots=10, n_i_internal_knots=10,
+                     i_spline_reg=0.1, n_flow_layers=1,
+                     i_constraint_dict_left={0: 0.0},
+                     i_constraint_dict_right={0: 1.0},
+                     n_spline_base_mesh_points=600)
+    params, log_pdf, sample = init(RNG, 2)
+    n = 200
+    xs = np.linspace(0, 1, n)
+    X1, X2 = np.meshgrid(xs, xs, indexing='ij')
+    grid = jnp.asarray(np.stack([X1.ravel(), X2.ravel()], -1))
+    p = np.exp(np.asarray(log_pdf(params, grid)))
+    integral = p.reshape(n, n).mean()  # unit square
+    np.testing.assert_allclose(integral, 1.0, rtol=0.05)
+
+
+def test_mflow_sample_shapes_and_support():
+    init = get_model(base_spline_degree=4, i_spline_degree=4,
+                     n_prior_internal_knots=10, n_i_internal_knots=10,
+                     i_spline_reg=0.1, n_flow_layers=1,
+                     n_spline_base_mesh_points=600)
+    params, log_pdf, sample = init(RNG, 2)
+    s = np.asarray(sample(jax.random.PRNGKey(3), params, 512))
+    assert s.shape == (512, 2)
+    assert (s > -0.05).all() and (s < 1.05).all()
+    s2, orig = sample(jax.random.PRNGKey(3), params, 64,
+                      return_original_samples=True)
+    assert np.asarray(orig).shape == (64, 2)

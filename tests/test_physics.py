@@ -1,0 +1,101 @@
+"""Physics layer: Laplacians vs analytic oracles, potentials, parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveflow_tpu.physics import (
+    abs2rel, antisymmetrize, construct_hamiltonian_function, get_potential,
+    inversion_count, laplacian, laplacian_dense_hessian, parity, rel2abs,
+)
+
+
+def test_laplacian_matches_analytic_gaussian():
+    # f(x) = exp(-|x|^2/2): lap = (|x|^2 - n) f
+    fn = lambda params, x: jnp.exp(-0.5 * (x ** 2).sum(-1))
+    lap = laplacian(fn)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 3))
+    got = np.asarray(lap(None, x))
+    expect = np.asarray(((x ** 2).sum(-1) - 3) * fn(None, x))
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_laplacian_hvp_matches_dense_hessian():
+    fn = lambda params, x: jnp.sin(x[:, 0] * 2) * jnp.cos(x[:, 1]) + \
+        (params * x ** 3).sum(-1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    p = jnp.asarray([0.3, -0.7])
+    a = np.asarray(laplacian(fn)(p, x))
+    b = np.asarray(laplacian_dense_hessian(fn)(p, x))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_particle_in_box_energy():
+    """Analytic 1-particle-in-box eigenstate: Hψ = E ψ with V=0 interior.
+
+    ψ_n(x) = sin(nπ(x+L)/(2L)), E_n = n²π²/(8L²); checks the full
+    -½∇² pipeline through jit (cf. tests/test_two_particle_in_box.py)."""
+    L = 3.0
+    n = 2
+    k = n * np.pi / (2 * L)
+    psi = lambda params, x: jnp.sin(k * (x[:, 0] + L))
+    lap = laplacian(psi)
+    x = jnp.asarray(np.linspace(-L * 0.8, L * 0.8, 25)[:, None])
+    kinetic = np.asarray(-0.5 * lap(None, x))
+    expect = 0.5 * k ** 2 * np.asarray(psi(None, x))
+    np.testing.assert_allclose(kinetic, expect, rtol=1e-4)
+
+
+def test_soft_coulomb_potential_values():
+    protons = jnp.asarray([[0.0], [0.0]])   # He: two protons at origin
+    v = get_potential(protons)
+    x = jnp.asarray([[0.0, 0.0], [1.0, -1.0]])
+    got = np.asarray(v(x))
+    # x=[0,0]: pe = -(1/1)*4 ... attraction: 2 protons x 2 electrons at 0
+    # ee: 1/sqrt(1+0)=1 -> V = -4 + 1
+    np.testing.assert_allclose(got[0], -3.0, rtol=1e-6)
+    pe = -4 / np.sqrt(2)
+    ee = 1 / np.sqrt(5)
+    np.testing.assert_allclose(got[1], pe + ee, rtol=1e-6)
+
+
+def test_hamiltonian_shapes():
+    fn = lambda params, x: jnp.exp(-0.5 * (x ** 2).sum(-1))
+    h = construct_hamiltonian_function(fn, protons=jnp.asarray([[0.0]]),
+                                       n_space_dimensions=1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (12, 2))
+    out = h(None, x)
+    assert out.shape == (12, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_inversion_count_and_parity():
+    x = jnp.asarray([[1.0, 2.5, 2.0, -3.0],
+                     [0.0, -1.5, 2.0, -3.0],
+                     [0.0, 1.0, 2.0, 3.0]])
+    # oracle: brute-force pair count
+    def brute(row):
+        c = 0
+        for i in range(len(row)):
+            for j in range(i + 1, len(row)):
+                if row[i] > row[j]:
+                    c += 1
+        return c
+    expect = np.asarray([brute(np.asarray(r)) for r in x])
+    got = np.asarray(inversion_count(x))
+    np.testing.assert_array_equal(got, expect)
+    np.testing.assert_array_equal(np.asarray(parity(x)), (-1.0) ** expect)
+
+
+def test_antisymmetrize():
+    base = lambda params, x: x[:, 1] - x[:, 0]  # defined on sorted sector
+    psi_a = antisymmetrize(base)
+    x = jnp.asarray([[1.0, 2.0], [2.0, 1.0]])
+    vals = np.asarray(psi_a(None, x))
+    np.testing.assert_allclose(vals[0], -vals[1], rtol=1e-6)
+
+
+def test_abs_rel_roundtrip():
+    x = jnp.sort(jax.random.normal(jax.random.PRNGKey(3), (6, 4)), axis=-1)
+    np.testing.assert_allclose(np.asarray(rel2abs(abs2rel(x))),
+                               np.asarray(x), rtol=1e-6)

@@ -1,0 +1,112 @@
+"""Density-estimation benchmark trainer (cf. benchmark_tests.py:50-147).
+
+MLE training of Flow / MFlow models on the 2D benchmark datasets with
+periodic metric checkpoints (KDE-KL, Hellinger², reconstruction distance).
+Uses optax adam and a fully jitted epoch step (permutation-shuffle +
+gradient update in one dispatch).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from waveflow_tpu.bijections import IMADE, Reverse, Serial, masked_conditioner
+from waveflow_tpu.models import Flow, get_model
+from waveflow_tpu.models.priors import Normal
+from waveflow_tpu.benchmark.metrics import kde_metrics, reconstruction_distance
+
+
+def get_benchmark_model(model_name: str = 'MFlow', spline_reg: float = 0.02,
+                        n_flow_layers: int = 3, spline_degree: int = 5,
+                        n_knots: int = 23, n_mesh_points: int = 2000):
+    """Model zoo of the reference benchmark (benchmark_tests.py:50-78)."""
+    if model_name == 'MFlow':
+        return get_model(base_spline_degree=spline_degree,
+                         i_spline_degree=spline_degree,
+                         n_prior_internal_knots=n_knots,
+                         n_i_internal_knots=n_knots,
+                         i_spline_reg=spline_reg,
+                         n_flow_layers=n_flow_layers,
+                         i_constraint_dict_left={0: 0.0},
+                         i_constraint_dict_right={0: 1.0},
+                         n_spline_base_mesh_points=n_mesh_points)
+    if model_name in ('Flow', 'IFlow'):
+        layers = []
+        for _ in range(n_flow_layers):
+            layers.append(IMADE(masked_conditioner(),
+                                spline_degree=spline_degree,
+                                n_internal_knots=n_knots,
+                                spline_regularization=spline_reg,
+                                constraints_dict_left={0: 0.0},
+                                constraints_dict_right={0: 1.0},
+                                n_spline_base_mesh_points=n_mesh_points))
+            layers.append(Reverse())
+        from waveflow_tpu.models.priors import Uniform
+        return Flow(Serial(*layers), Uniform(), prior_support=(0.0, 1.0))
+    raise ValueError(f"unknown model {model_name!r}")
+
+
+def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
+                        num_epochs: int = 1000, learning_rate: float = 1e-4,
+                        spline_reg: float = 0.02, n_flow_layers: int = 3,
+                        spline_degree: int = 5, n_knots: int = 23,
+                        log_every: int = 500, save_dir: str | None = None,
+                        n_model_sample: int = 5000, seed: int = 5,
+                        n_mesh_points: int = 2000, verbose: bool = True):
+    """MLE-train a density model; returns (params, log_pdf, sample, history)."""
+    rng = jax.random.PRNGKey(seed)
+    rng, flow_rng = jax.random.split(rng)
+    init_fun = get_benchmark_model(model_name, spline_reg, n_flow_layers,
+                                   spline_degree, n_knots, n_mesh_points)
+    params, log_pdf, sample = init_fun(flow_rng, X.shape[-1])
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+    X_dev = jnp.asarray(X)
+
+    def loss_fn(p, batch):
+        return -log_pdf(p, batch).mean()
+
+    @jax.jit
+    def step(p, opt_state, perm_key):
+        batch = jax.random.permutation(perm_key, X_dev, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, loss
+
+    history = {'losses': [], 'kl': [], 'hellinger': [], 'reconstruction': []}
+    for epoch in range(1, num_epochs + 1):
+        rng, perm_key = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, perm_key)
+        history['losses'].append(float(loss))
+        if epoch % log_every == 0 or epoch == num_epochs:
+            rng, s_rng = jax.random.split(rng)
+            model_samples, orig = sample(s_rng, params,
+                                         num_samples=n_model_sample,
+                                         return_original_samples=True)
+            ms = np.asarray(model_samples)
+            kl, hell = kde_metrics(log_pdf, params, ms)
+            recon = reconstruction_distance(log_pdf, params, ms, orig)
+            history['kl'].append(kl)
+            history['hellinger'].append(hell)
+            history['reconstruction'].append(recon)
+            if verbose:
+                print(f"epoch {epoch} | loss {loss:.4f} | KL {kl:.4f} | "
+                      f"H² {hell:.4f} | recon {recon:.2e}")
+            if save_dir:
+                path = Path(save_dir)
+                path.mkdir(parents=True, exist_ok=True)
+                np.savetxt(path / 'losses.txt', history['losses'])
+                np.savetxt(path / 'kl_divergences.txt', history['kl'])
+                np.savetxt(path / 'hellinger_divergences.txt',
+                           history['hellinger'])
+                np.savetxt(path / 'reconstruction_distances.txt',
+                           history['reconstruction'])
+    return params, log_pdf, sample, history

@@ -1,0 +1,48 @@
+"""Benchmark evaluation metrics (cf. helpers.py:170-215).
+
+KDE-based KL and squared-Hellinger distances between the model pdf and a
+kernel-density estimate of its own samples on a grid, plus round-trip
+reconstruction distance through log_pdf(..., return_sample=True).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pdf_grid_eval(log_pdf, params, ngrid: int = 300):
+    """Model pdf on the unit-square grid: (ngrid, ngrid) + flat grid."""
+    import jax.numpy as jnp
+    x = np.linspace(0.0, 1.0, ngrid)
+    xv, yv = np.meshgrid(x, x)
+    grid = np.stack([xv.ravel(), yv.ravel()], -1).astype(np.float32)
+    lp = np.asarray(log_pdf(params, jnp.asarray(grid)))
+    return lp.reshape(ngrid, ngrid), grid
+
+
+def kde_metrics(log_pdf, params, model_samples: np.ndarray,
+                ngrid: int = 300, bandwidth: float = 0.01):
+    """(kde_kl, kde_hellinger²) on the unit-square grid
+    (helpers.py:197-204)."""
+    from sklearn.neighbors import KernelDensity
+    log_pdf_grid, grid = pdf_grid_eval(log_pdf, params, ngrid)
+    pdf_grid = np.exp(log_pdf_grid)
+    kde = KernelDensity(kernel='gaussian', bandwidth=bandwidth,
+                        rtol=0.1).fit(model_samples)
+    log_pdf_kde = kde.score_samples(grid).reshape(ngrid, ngrid)
+    pdf_kde = np.exp(log_pdf_kde)
+    kl = (pdf_grid * (log_pdf_grid - log_pdf_kde)).mean()
+    hellinger = ((np.sqrt(pdf_grid) - np.sqrt(pdf_kde)) ** 2).mean()
+    return float(kl), float(hellinger)
+
+
+def reconstruction_distance(log_pdf, params, model_samples,
+                            original_samples) -> float:
+    """Mean distance between prior samples and their round-trip
+    reconstruction u = T(T^{-1}(u)) (helpers.py:206-208)."""
+    import jax.numpy as jnp
+    _, reconstructed = log_pdf(params, jnp.asarray(model_samples),
+                               return_sample=True)
+    return float(np.linalg.norm(
+        np.asarray(original_samples) - np.asarray(reconstructed),
+        axis=-1).mean())

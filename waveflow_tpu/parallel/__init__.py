@@ -1,0 +1,7 @@
+from waveflow_tpu.parallel.mesh import (
+    WALKER_AXIS, distributed_init, make_host_chip_mesh, make_walker_mesh,
+    replicated, walker_sharded,
+)
+from waveflow_tpu.parallel.sharding import (
+    make_sharded_sampler, make_sharded_train_step, psum_mean, shard_batch,
+)

@@ -40,10 +40,14 @@ def laplacian(fn):
 
 def laplacian_dense_hessian(fn):
     """Reference-style full-Hessian trace (physics.py:50-52) — kept for
-    cross-checking the HVP path in tests."""
-    _lap = lambda params, x: jnp.trace(
-        jax.hessian(fn, argnums=1)(params, x), axis1=1, axis2=2)
-    return jax.vmap(_lap, in_axes=(None, 0))
+    cross-checking the HVP path in tests.  Same contract as ``laplacian``:
+    fn takes (params, (batch, n)) and returns (batch,)."""
+
+    def single(params, x):
+        f = lambda xx: fn(params, xx[None])[0]
+        return jnp.trace(jax.hessian(f)(x))
+
+    return jax.vmap(single, in_axes=(None, 0))
 
 
 def laplacian_numerical(fn, eps=0.1, n_dims=2):

@@ -1,0 +1,7 @@
+from waveflow_tpu.utils.checkpoint import (
+    OrbaxCheckpointer, load_state, save_state, save_state_multihost,
+)
+from waveflow_tpu.utils.observables import (
+    clipped_energy_estimate, moving_average, uniform_sliding_average,
+    uniform_sliding_stdev,
+)

@@ -1,0 +1,5 @@
+from waveflow_tpu.vmc.estimators import (
+    local_energy, make_loss_fn, make_train_step, loss_fn_uniform,
+    make_policy_gradient_step,
+)
+from waveflow_tpu.vmc.trainer import VMCConfig, VMCTrainer

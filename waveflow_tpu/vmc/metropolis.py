@@ -1,0 +1,79 @@
+"""Metropolis-Hastings walker driver (new capability — the reference has
+exact ancestral sampling only and no MCMC anywhere, SURVEY §3.3).
+
+Random-walk Metropolis over walker configurations reusing the model's
+log_pdf, with Robbins-Monro step-size adaptation toward a target acceptance
+rate.  When ``axis_name`` is given, the acceptance statistics are averaged
+over the mesh axis with pmean so all devices adapt a *collective* step size
+(BASELINE.json north star).
+
+Everything is a fixed-shape lax.scan — no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MetropolisState(NamedTuple):
+    positions: jnp.ndarray     # (B, D)
+    log_prob: jnp.ndarray      # (B,)
+    step_size: jnp.ndarray     # ()
+    accept_rate: jnp.ndarray   # () running acceptance estimate
+
+
+def make_metropolis_sampler(log_pdf, target_accept: float = 0.5,
+                            adapt_rate: float = 0.1,
+                            axis_name: str | None = None,
+                            bounds: tuple[float, float] | None = None):
+    """Build (init_fn, step_fn, run_fn) for random-walk Metropolis.
+
+    log_pdf: (params, x (B,D)) -> (B,) unnormalized log density.
+    bounds: optional (lo, hi) box; proposals outside are rejected by -inf.
+    """
+
+    def init_fn(params, positions, step_size=0.1):
+        lp = log_pdf(params, positions)
+        return MetropolisState(positions, lp, jnp.asarray(step_size),
+                               jnp.asarray(target_accept))
+
+    def step_fn(params, state: MetropolisState, rng) -> MetropolisState:
+        rng_prop, rng_acc = jax.random.split(rng)
+        noise = jax.random.normal(rng_prop, state.positions.shape)
+        proposal = state.positions + state.step_size * noise
+        lp_prop = log_pdf(params, proposal)
+        if bounds is not None:
+            lo, hi = bounds
+            inside = ((proposal >= lo) & (proposal <= hi)).all(-1)
+            lp_prop = jnp.where(inside, lp_prop, -jnp.inf)
+        log_ratio = lp_prop - state.log_prob
+        accept = jnp.log(jax.random.uniform(
+            rng_acc, state.log_prob.shape)) < log_ratio
+        new_pos = jnp.where(accept[:, None], proposal, state.positions)
+        new_lp = jnp.where(accept, lp_prop, state.log_prob)
+        acc_frac = accept.mean()
+        if axis_name is not None:
+            acc_frac = jax.lax.pmean(acc_frac, axis_name)
+        # Robbins-Monro log-step adaptation toward target acceptance
+        new_step = state.step_size * jnp.exp(
+            adapt_rate * (acc_frac - target_accept))
+        new_rate = 0.9 * state.accept_rate + 0.1 * acc_frac
+        return MetropolisState(new_pos, new_lp, new_step, new_rate)
+
+    def run_fn(params, state: MetropolisState, rng, n_steps: int,
+               thin: int = 1):
+        """Run n_steps sweeps; returns (final_state, positions trace
+        thinned every `thin` sweeps: (n_steps//thin, B, D))."""
+
+        def body(state, rng):
+            state = step_fn(params, state, rng)
+            return state, state.positions
+
+        keys = jax.random.split(rng, n_steps)
+        state, trace = jax.lax.scan(body, state, keys)
+        return state, trace[::thin]
+
+    return init_fn, step_fn, run_fn

@@ -1,0 +1,176 @@
+"""VMC training driver for the Waveflow square-flow ansatz.
+
+Reference: vqmc.py:19-139 (ModelTrainer).  Differences by design:
+  * optax adam instead of jax.example_libraries.optimizers (SURVEY §7);
+  * checkpoint carries params + optimizer state + epoch + rng so resume is
+    exact (the reference restarts the epoch counter, vqmc.py:91 bug —
+    fixed, not copied);
+  * sampling and training are fully jitted with static batch size; the
+    epoch loop stays on host but dispatches exactly two device calls;
+  * optional walker-sharded data parallelism over a device mesh (see
+    waveflow_tpu.parallel) — a capability the reference lacks.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from waveflow_tpu.models.factory import get_waveflow_model
+from waveflow_tpu.physics import construct_hamiltonian_function, system_catalogue
+from waveflow_tpu.vmc.estimators import make_train_step
+
+
+@dataclass
+class VMCConfig:
+    system_name: str = 'He'
+    n_space_dimension: int = 1
+    box_length: float = 10.0
+    learning_rate: float = 1e-4
+    num_epochs: int = 200_000
+    batch_size: int = 128
+    log_every: int = 2000
+    window: int = 100                      # baseline running-average window
+    xu_coord_type: str = 'mean'
+    spline_degree: int = 6
+    num_knots: int = 23
+    n_flow_layers: int = 3
+    i_spline_reg: float = 0.05
+    i_spline_reverse_fun_tol: float = 1e-6
+    n_spline_base_mesh_points: int = 2000
+    seed: int = 2
+    save_dir: str | None = None
+
+    def resolved_save_dir(self) -> str:
+        if self.save_dir is not None:
+            return self.save_dir
+        return (f"./results/{self.system_name}_{self.n_space_dimension}d"
+                f"_L{self.box_length:g}box")
+
+
+class VMCTrainer:
+    """Builds the model + Hamiltonian and runs the sample/update loop."""
+
+    def __init__(self, config: VMCConfig | None = None, **overrides):
+        if config is None:
+            config = VMCConfig(**overrides)
+        self.config = config
+        c = config
+        self.protons, self.n_particle = system_catalogue[
+            c.n_space_dimension][c.system_name]
+
+        init_fun = get_waveflow_model(
+            self.n_particle,
+            base_spline_degree=c.spline_degree, i_spline_degree=c.spline_degree,
+            n_prior_internal_knots=c.num_knots, n_i_internal_knots=c.num_knots,
+            i_spline_reg=c.i_spline_reg,
+            i_spline_reverse_fun_tol=c.i_spline_reverse_fun_tol,
+            n_flow_layers=c.n_flow_layers, box_size=c.box_length,
+            xu_coord_type=c.xu_coord_type,
+            n_spline_base_mesh_points=c.n_spline_base_mesh_points)
+
+        rng = jax.random.PRNGKey(c.seed)
+        self.init_rng, self.rng = jax.random.split(rng)
+        params, psi, log_pdf, sample = init_fun(self.init_rng, self.n_particle)
+        self.params = params
+        self.psi = psi
+        self.log_pdf = log_pdf
+        self._sample = sample
+        self.h_fn = construct_hamiltonian_function(
+            psi, protons=self.protons,
+            n_space_dimensions=c.n_space_dimension, eps=0.0)
+
+        self.optimizer = optax.adam(c.learning_rate)
+        self.opt_state = self.optimizer.init(params)
+        self.sample_jit = jax.jit(sample, static_argnums=(2,))
+        self.step_jit = jax.jit(
+            make_train_step(psi, self.h_fn, self.optimizer))
+
+        self.epoch = 0
+        self.losses: list = []
+
+    # ---- checkpointing ----------------------------------------------------
+
+    def save_checkpoint(self, save_dir: str):
+        path = Path(save_dir)
+        path.mkdir(parents=True, exist_ok=True)
+        with open(path / 'checkpoints', 'wb') as f:
+            pickle.dump({
+                'params': jax.device_get(self.params),
+                'opt_state': jax.device_get(self.opt_state),
+                'epoch': self.epoch,
+                'rng': jax.device_get(self.rng),
+            }, f)
+        np.save(path / 'loss.npy', np.asarray(self.losses))
+        np.save(path / 'energies.npy', np.asarray(self.losses)[:, None]
+                if len(self.losses) else np.zeros((0, 1)))
+
+    def load_checkpoint(self, save_dir: str) -> bool:
+        path = Path(save_dir) / 'checkpoints'
+        if not path.exists():
+            return False
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        self.params = jax.device_put(state['params'])
+        self.opt_state = jax.device_put(state['opt_state'])
+        self.epoch = state['epoch']
+        self.rng = jax.device_put(state['rng'])
+        loss_path = Path(save_dir) / 'loss.npy'
+        if loss_path.exists():
+            self.losses = np.load(loss_path).tolist()
+        return True
+
+    # ---- training ---------------------------------------------------------
+
+    def train(self, num_epochs: int | None = None, restart: bool = False,
+              callback=None, verbose: bool = True):
+        c = self.config
+        num_epochs = num_epochs if num_epochs is not None else c.num_epochs
+        save_dir = c.resolved_save_dir()
+
+        if restart:
+            self.load_checkpoint(save_dir)
+
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
+        with open(Path(save_dir) / 'system_info.json', 'w') as f:
+            json.dump({
+                'system_name': c.system_name,
+                'box_length': c.box_length,
+                'n_particle': int(self.n_particle),
+                'n_space_dimension': c.n_space_dimension,
+                'window': c.window,
+                'batch_size': c.batch_size,
+            }, f, indent=4)
+
+        baseline = jnp.zeros(())
+        start = self.epoch
+        t0 = time.time()
+        for epoch in range(start + 1, start + num_epochs + 1):
+            self.epoch = epoch
+            self.rng, split_rng = jax.random.split(self.rng)
+            batch = self.sample_jit(split_rng, self.params, c.batch_size)
+            self.params, self.opt_state, loss_val = self.step_jit(
+                self.params, self.opt_state, batch, baseline)
+            self.losses.append(float(loss_val))
+            if epoch % c.window == 0:
+                baseline = jnp.asarray(
+                    np.mean(self.losses[-c.window:]), dtype=jnp.float32)
+            if epoch % c.log_every == 0 or epoch == start + 1:
+                self.save_checkpoint(save_dir)
+                if verbose:
+                    rate = (epoch - start) / (time.time() - t0)
+                    print(f"epoch {epoch} | loss {loss_val:.3f} | "
+                          f"{rate:.1f} steps/s")
+            if callback is not None:
+                callback(self, epoch, loss_val)
+        self.save_checkpoint(save_dir)
+        return self.losses
