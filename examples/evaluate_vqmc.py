@@ -1,0 +1,45 @@
+"""Evaluate a trained VMC run: outlier-controlled energy estimate vs the
+exact-diagonalization oracle.
+
+Usage:
+  python examples/evaluate_vqmc.py --save-dir results/he1d_r1 \
+      --system He --box-length 10
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from waveflow_tpu.physics import exact_ground_state_1d, system_catalogue
+from waveflow_tpu.utils import clipped_energy_estimate
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--save-dir', required=True)
+    p.add_argument('--system', default='He')
+    p.add_argument('--box-length', type=float, default=10.0)
+    p.add_argument('--clip', type=float, default=100.0)
+    p.add_argument('--tail-fraction', type=float, default=0.2)
+    args = p.parse_args()
+
+    trace = np.load(Path(args.save_dir) / 'loss.npy')
+    mean, stderr = clipped_energy_estimate(trace, clip=args.clip,
+                                           tail_fraction=args.tail_fraction)
+    protons, n_el = system_catalogue[1][args.system]
+    exact = exact_ground_state_1d(np.asarray(protons), n_el, args.box_length)
+
+    n_sigma = abs(mean - exact) / stderr if stderr > 0 else float('inf')
+    print(f"epochs:            {len(trace)}")
+    print(f"VMC energy:        {mean:.4f} +/- {stderr:.4f} "
+          f"(clip ±{args.clip:g}, last {args.tail_fraction:.0%})")
+    print(f"exact (ED oracle): {exact:.4f}")
+    print(f"deviation:         {mean - exact:+.4f}  ({n_sigma:.1f} sigma)")
+
+
+if __name__ == '__main__':
+    main()

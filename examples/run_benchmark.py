@@ -6,6 +6,10 @@ Usage:
 """
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from waveflow_tpu.benchmark import get_dataset, train_density_model
 

@@ -8,6 +8,10 @@ Usage:
 """
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from waveflow_tpu.vmc import VMCConfig, VMCTrainer
 

@@ -179,3 +179,51 @@ def test_box_transform_log_det(coord_type):
     jac = jax.vmap(jax.jacfwd(single))(x)
     _, ref_ldj = np.linalg.slogdet(np.asarray(jac))
     np.testing.assert_allclose(np.asarray(ldj), ref_ldj, atol=1e-3)
+
+
+def test_rqs_spline_roundtrip_and_logdet():
+    from waveflow_tpu.bijections.rqs import rational_quadratic_spline
+    rng = np.random.default_rng(7)
+    K = 8
+    shape = (64,)
+    x = jnp.asarray(rng.uniform(-4, 4, shape).astype(np.float32))
+    uw = jnp.asarray(rng.normal(size=shape + (K,)).astype(np.float32))
+    uh = jnp.asarray(rng.normal(size=shape + (K,)).astype(np.float32))
+    ud = jnp.asarray(rng.normal(size=shape + (K - 1,)).astype(np.float32))
+    y, ld = rational_quadratic_spline(x, uw, uh, ud, interval=3.0)
+    x_rec, ld_inv = rational_quadratic_spline(y, uw, uh, ud, interval=3.0,
+                                              inverse=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld), -np.asarray(ld_inv), atol=1e-4)
+    # identity + zero log-det outside the interval
+    outside = np.abs(np.asarray(x)) >= 3.0
+    np.testing.assert_allclose(np.asarray(y)[outside],
+                               np.asarray(x)[outside], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld)[outside], 0.0, atol=1e-6)
+    # log-det matches numeric derivative inside
+    eps = 1e-3
+    y2, _ = rational_quadratic_spline(x + eps, uw, uh, ud, interval=3.0)
+    num = (np.asarray(y2) - np.asarray(y)) / eps
+    inside = np.abs(np.asarray(x)) < 2.9
+    np.testing.assert_allclose(np.exp(np.asarray(ld))[inside], num[inside],
+                               rtol=0.05)
+
+
+def test_neural_spline_coupling_bijective():
+    init = bj.NeuralSplineCoupling(n_bins=6, interval=3.0)
+    inputs = jax.random.normal(RNG, (32, 4))
+    params, direct, inverse = init(RNG, 4)
+    y, ldj = direct(params, inputs)
+    # zero-initialized last layer -> exactly identity at init
+    np.testing.assert_allclose(np.asarray(y), np.asarray(inputs), atol=1e-5)
+    # perturb params, still bijective.  Near-flat spline regions make the
+    # x-space inverse ill-conditioned in f32, so assert consistency in
+    # y-space (machine-precision there) and loosely in x-space.
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.1 * jax.random.normal(RNG, p.shape), params)
+    y, ldj = direct(params, inputs)
+    rec, _ = inverse(params, y)
+    y2, _ = direct(params, rec)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(inputs), atol=5e-3)
+    check_log_det(lambda r, d: (params, direct, inverse), inputs)

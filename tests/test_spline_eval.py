@@ -162,3 +162,45 @@ def test_sample_squared_amplitude_matches_pdf():
     psi = np.asarray(ev(jnp.tile(jnp.asarray(w)[None], (len(fine), 1)),
                         jnp.asarray(fine, dtype=jnp.float32)))
     _assert_hist_matches(xs, _bin_probs(psi ** 2, n_bins), n_bins)
+
+
+def test_pallas_kernel_matches_take_interpret():
+    """Pallas spline kernel (interpreter mode on CPU) vs the take-path."""
+    from waveflow_tpu.ops.pallas_spline import _spline_eval_kernel
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tabs = build_ispline_tables(4, 8, n_mesh=300)
+    ev = make_evaluator(tabs)
+    table = ev.tables[0]
+    rng = np.random.default_rng(11)
+    N, block = 128, 64
+    w = jnp.asarray(rng.uniform(0.1, 1, (N, ev.n_bases)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 1, N).astype(np.float32))
+
+    out = pl.pallas_call(
+        _spline_eval_kernel,
+        grid=(N // block,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block, ev.n_bases), lambda i: (i, 0)),
+            pl.BlockSpec(table.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        interpret=True,
+    )(x.reshape(-1, 1), w, table)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ev(w, x)),
+                               atol=2e-5)
+
+
+def test_onehot_matmul_matches_take():
+    from waveflow_tpu.ops.pallas_spline import onehot_matmul_eval
+    tabs = build_ispline_tables(4, 8, n_mesh=300)
+    ev = make_evaluator(tabs)
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(rng.uniform(0.1, 1, (256, ev.n_bases)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 1, 256).astype(np.float32))
+    a = np.asarray(onehot_matmul_eval(ev.tables[0], w, x))
+    b = np.asarray(ev(w, x))
+    np.testing.assert_allclose(a, b, atol=2e-5)

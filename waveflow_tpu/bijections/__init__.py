@@ -8,3 +8,6 @@ from waveflow_tpu.bijections.box_transform import BoxTransformLayer
 from waveflow_tpu.bijections.masks import (
     made_masks, masked_mlp, masked_conditioner, simple_masked_transform,
 )
+from waveflow_tpu.bijections.rqs import (
+    NeuralSplineCoupling, rational_quadratic_spline,
+)

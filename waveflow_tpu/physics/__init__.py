@@ -7,3 +7,6 @@ from waveflow_tpu.physics.fermion import (
     abs2rel, antisymmetrize, inversion_count, parity, rel2abs,
     sort_and_parity,
 )
+from waveflow_tpu.physics.exact import (
+    exact_ground_state_1d, exact_ground_state_1p, exact_ground_state_2p,
+)

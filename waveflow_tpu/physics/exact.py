@@ -1,0 +1,111 @@
+"""Exact-diagonalization reference solutions for 1D few-electron systems.
+
+Role of utils/qmsolve_1d_interavtive.py in the reference (which leans on the
+external `qmsolve` package, not even listed in its environment.yml): a CPU
+oracle for ground-state energies to gate VMC correctness.  Implemented here
+self-contained with SciPy sparse eigensolvers.
+
+Hamiltonian on a uniform grid over the box [-L, L] with Dirichlet walls:
+  H = -1/2 Σ_i ∂²/∂x_i² + Σ_i V(x_i) + Σ_{i<j} W(x_i - x_j)
+  V(x)  = -Σ_p 1/sqrt(1 + (x - x_p)²)      (soft-Coulomb attraction)
+  W(d)  =  1/sqrt(1 + d²)                  (soft-Coulomb repulsion)
+matching physics.py:60-76 exactly.
+
+For two same-spin (spinless) fermions the spatial wavefunction is
+antisymmetric: we diagonalize directly in the antisymmetric-pair basis
+{ (x_i, x_j) : i < j }, which both halves the dimension and guarantees the
+returned state has the right exchange symmetry (the reference's model is
+antisymmetrized by sort+parity, tests/test_waveflow.py:39-42).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.linalg import eigsh
+
+
+def _soft_coulomb_v(x: np.ndarray, protons: np.ndarray) -> np.ndarray:
+    """V(x) = -sum_p 1/sqrt(1+(x-x_p)^2); protons: (n_p, 1) or (n_p,)."""
+    protons = np.asarray(protons).reshape(-1)
+    return -(1.0 / np.sqrt(1.0 + (x[None, :] - protons[:, None]) ** 2)).sum(0)
+
+
+def _kinetic_1d(n: int, h: float) -> sp.csr_matrix:
+    """-1/2 d²/dx² with Dirichlet BCs, 3-point stencil."""
+    main = np.full(n, 1.0 / h ** 2)
+    off = np.full(n - 1, -0.5 / h ** 2)
+    return sp.diags([off, main, off], [-1, 0, 1], format='csr')
+
+
+def exact_ground_state_1p(protons, box_length: float, n_grid: int = 2000):
+    """Ground state of one electron in the box: (energy, psi (n_grid,), x)."""
+    x = np.linspace(-box_length, box_length, n_grid + 2)[1:-1]
+    h = x[1] - x[0]
+    H = _kinetic_1d(len(x), h) + sp.diags(_soft_coulomb_v(x, protons))
+    vals, vecs = eigsh(H, k=1, which='SA')
+    psi = vecs[:, 0] / np.sqrt(h)
+    return float(vals[0]), psi, x
+
+
+def exact_ground_state_2p(protons, box_length: float, n_grid: int = 120):
+    """Ground state of two spinless fermions: (energy, psi_pairs, x).
+
+    psi_pairs is indexed by sorted pairs (i < j) and normalized so that
+    2 Σ_{i<j} |ψ|² h² = 1 (full-square normalization with antisymmetry).
+    """
+    x = np.linspace(-box_length, box_length, n_grid + 2)[1:-1]
+    n = len(x)
+    h = x[1] - x[0]
+    v1 = _soft_coulomb_v(x, protons)
+
+    # antisymmetric-pair basis: index pairs (i, j), i < j
+    pair_index = -np.ones((n, n), dtype=np.int64)
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            pair_index[i, j] = len(pairs)
+            pairs.append((i, j))
+    pairs = np.asarray(pairs)
+    m = len(pairs)
+
+    diag = (1.0 / h ** 2) * 2.0 \
+        + v1[pairs[:, 0]] + v1[pairs[:, 1]] \
+        + 1.0 / np.sqrt(1.0 + (x[pairs[:, 0]] - x[pairs[:, 1]]) ** 2)
+
+    rows, cols, vals = [], [], []
+
+    def add(r, c, v):
+        rows.append(r); cols.append(c); vals.append(v)
+
+    off = -0.5 / h ** 2
+    for idx, (i, j) in enumerate(pairs):
+        # hops of particle 1: i -> i±1 ; of particle 2: j -> j±1.
+        for (ni, nj) in ((i - 1, j), (i + 1, j), (i, j - 1), (i, j + 1)):
+            if ni < 0 or nj < 0 or ni >= n or nj >= n:
+                continue
+            if ni == nj:
+                continue  # antisymmetric state vanishes on the diagonal
+            a, b = (ni, nj) if ni < nj else (nj, ni)
+            sign = 1.0 if ni < nj else -1.0
+            add(idx, pair_index[a, b], off * sign)
+
+    H = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    H = H + sp.diags(diag)
+    evals, evecs = eigsh(H, k=1, which='SA')
+    psi = evecs[:, 0]
+    psi = psi / np.sqrt(2.0 * (psi ** 2).sum() * h * h)
+    return float(evals[0]), psi, x
+
+
+def exact_ground_state_1d(protons, n_electrons: int, box_length: float,
+                          n_grid: int | None = None):
+    """Dispatch on electron count; returns the ground-state energy."""
+    if n_electrons == 1:
+        n_grid = n_grid or 2000
+        return exact_ground_state_1p(protons, box_length, n_grid)[0]
+    if n_electrons == 2:
+        n_grid = n_grid or 120
+        return exact_ground_state_2p(protons, box_length, n_grid)[0]
+    raise NotImplementedError(
+        f"exact diagonalization supports 1-2 electrons, got {n_electrons}")

@@ -70,6 +70,37 @@ def make_train_step(psi, h_fn, optimizer, pmean_axis=None):
     return step
 
 
+def make_train_window(psi, h_fn, sample_fn, optimizer, batch_size: int,
+                      window: int, pmean_axis=None):
+    """Fuse `window` sample+update epochs into one on-device lax.scan.
+
+    The reference dispatches two device calls per epoch and syncs the loss
+    to host every step (vqmc.py:96-119); at TPU speeds the host round-trip
+    dominates.  This runs a whole baseline window (100 epochs by default)
+    in a single dispatch and updates the variance-reduction baseline from
+    the window's mean loss on device — identical semantics to the
+    reference's every-100-epochs running average (vqmc.py:112-113).
+
+    Returns step(params, opt_state, rng, baseline) ->
+      (params, opt_state, rng, new_baseline, losses (window,)).
+    """
+    step = make_train_step(psi, h_fn, optimizer, pmean_axis=pmean_axis)
+
+    def run_window(params, opt_state, rng, baseline):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            batch = sample_fn(k, params, batch_size)
+            params, opt_state, loss = step(params, opt_state, batch, baseline)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=window)
+        return params, opt_state, rng, losses.mean(), losses
+
+    return run_window
+
+
 # --- parity variants -------------------------------------------------------
 
 def loss_fn_uniform(params, psi, h_fn, batch):

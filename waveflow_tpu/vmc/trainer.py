@@ -27,7 +27,7 @@ import optax
 
 from waveflow_tpu.models.factory import get_waveflow_model
 from waveflow_tpu.physics import construct_hamiltonian_function, system_catalogue
-from waveflow_tpu.vmc.estimators import make_train_step
+from waveflow_tpu.vmc.estimators import make_train_step, make_train_window
 
 
 @dataclass
@@ -49,6 +49,7 @@ class VMCConfig:
     n_spline_base_mesh_points: int = 2000
     seed: int = 2
     save_dir: str | None = None
+    save_artifacts: bool = False      # psi grids / density slices / clouds
 
     def resolved_save_dir(self) -> str:
         if self.save_dir is not None:
@@ -94,6 +95,8 @@ class VMCTrainer:
         self.sample_jit = jax.jit(sample, static_argnums=(2,))
         self.step_jit = jax.jit(
             make_train_step(psi, self.h_fn, self.optimizer))
+        self.window_jit = jax.jit(make_train_window(
+            psi, self.h_fn, sample, self.optimizer, c.batch_size, c.window))
 
         self.epoch = 0
         self.losses: list = []
@@ -103,6 +106,13 @@ class VMCTrainer:
     def save_checkpoint(self, save_dir: str):
         path = Path(save_dir)
         path.mkdir(parents=True, exist_ok=True)
+        if self.config.save_artifacts:
+            from waveflow_tpu.vmc.artifacts import save_wavefunction_artifacts
+            self.rng, art_rng = jax.random.split(self.rng)
+            save_wavefunction_artifacts(
+                save_dir, self.psi, self.sample_jit, self.params, self.epoch,
+                self.config.box_length, int(self.n_particle), self.protons,
+                art_rng)
         with open(path / 'checkpoints', 'wb') as f:
             pickle.dump({
                 'params': jax.device_get(self.params),
@@ -154,7 +164,27 @@ class VMCTrainer:
         baseline = jnp.zeros(())
         start = self.epoch
         t0 = time.time()
-        for epoch in range(start + 1, start + num_epochs + 1):
+
+        if callback is None and num_epochs >= c.window:
+            # fast path: fused on-device windows (one dispatch per
+            # c.window epochs — see make_train_window)
+            n_windows, rem = divmod(num_epochs, c.window)
+            for w in range(n_windows):
+                (self.params, self.opt_state, self.rng, baseline,
+                 losses) = self.window_jit(self.params, self.opt_state,
+                                           self.rng, baseline)
+                self.losses.extend(np.asarray(losses).tolist())
+                self.epoch = start + (w + 1) * c.window
+                if self.epoch % c.log_every < c.window:
+                    self.save_checkpoint(save_dir)
+                    if verbose:
+                        rate = (self.epoch - start) / (time.time() - t0)
+                        print(f"epoch {self.epoch} | loss "
+                              f"{self.losses[-1]:.3f} | {rate:.1f} steps/s",
+                              flush=True)
+            num_epochs = rem
+
+        for epoch in range(self.epoch + 1, self.epoch + num_epochs + 1):
             self.epoch = epoch
             self.rng, split_rng = jax.random.split(self.rng)
             batch = self.sample_jit(split_rng, self.params, c.batch_size)
@@ -164,12 +194,12 @@ class VMCTrainer:
             if epoch % c.window == 0:
                 baseline = jnp.asarray(
                     np.mean(self.losses[-c.window:]), dtype=jnp.float32)
-            if epoch % c.log_every == 0 or epoch == start + 1:
+            if epoch % c.log_every == 0:
                 self.save_checkpoint(save_dir)
                 if verbose:
                     rate = (epoch - start) / (time.time() - t0)
                     print(f"epoch {epoch} | loss {loss_val:.3f} | "
-                          f"{rate:.1f} steps/s")
+                          f"{rate:.1f} steps/s", flush=True)
             if callback is not None:
                 callback(self, epoch, loss_val)
         self.save_checkpoint(save_dir)
