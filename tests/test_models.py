@@ -114,3 +114,33 @@ def test_mflow_sample_shapes_and_support():
     s2, orig = sample(jax.random.PRNGKey(3), params, 64,
                       return_original_samples=True)
     assert np.asarray(orig).shape == (64, 2)
+
+
+def test_normal_prior_matches_scipy():
+    from waveflow_tpu.models import Normal
+    from scipy.stats import multivariate_normal as mvn
+    params, log_pdf, sample = Normal()(RNG, 3)
+    x = jax.random.normal(RNG, (20, 3))
+    got = np.asarray(log_pdf(params, x))
+    expect = mvn.logpdf(np.asarray(x), np.zeros(3), np.eye(3))
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_gmm_prior_matches_sklearn():
+    from waveflow_tpu.models import GMM
+    from sklearn.mixture import GaussianMixture
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.normal(size=(3, 2)))
+    covs = jnp.asarray(np.stack([np.eye(2) * s for s in (0.5, 1.0, 2.0)]))
+    weights = jnp.log(jnp.asarray([0.2, 0.3, 0.5]))
+    params, log_pdf, sample = GMM(means, covs, jnp.asarray([0.2, 0.3, 0.5]))(RNG, 2)
+    gmm = GaussianMixture(3)
+    gmm.means_ = np.asarray(means)
+    gmm.covariances_ = np.asarray(covs)
+    gmm.weights_ = np.asarray([0.2, 0.3, 0.5])
+    gmm.precisions_cholesky_ = np.linalg.cholesky(
+        np.linalg.inv(np.asarray(covs))).transpose(0, 2, 1)
+    x = jnp.asarray(rng.normal(size=(20, 2)))
+    got = np.asarray(log_pdf(params, x))
+    expect = gmm.score_samples(np.asarray(x))
+    np.testing.assert_allclose(got, expect, rtol=1e-4)

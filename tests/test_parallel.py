@@ -112,3 +112,31 @@ def test_multi_step_sharded_training_descends(setup):
         params, opt_state, loss = step(params, opt_state, batch, baseline)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
+
+
+def test_sharded_walker_resampling():
+    """Weighted population concentrates on high-weight walkers after a
+    cross-device systematic resample."""
+    from jax.sharding import PartitionSpec as P
+    from waveflow_tpu.parallel import make_walker_mesh
+    from waveflow_tpu.parallel.resample import resample_walkers_sharded
+
+    mesh = make_walker_mesh()
+    n_dev = mesh.devices.size
+    n_local = 16
+    total = n_dev * n_local
+    positions = jnp.arange(total, dtype=jnp.float32)[:, None]
+    # all weight on walkers with position >= total/2
+    log_w = jnp.where(positions[:, 0] >= total / 2, 0.0, -1e9)
+
+    def local(pos, lw, key):
+        return resample_walkers_sharded(pos, lw, key[0], axis_name="walkers")
+
+    mapped = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P("walkers"), P("walkers"), P("walkers")),
+                           out_specs=(P("walkers"), P("walkers")),
+                           check_vma=False)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
+    new_pos, new_lw = mapped(positions, log_w, keys)
+    assert (np.asarray(new_pos)[:, 0] >= total / 2).all()
+    np.testing.assert_allclose(np.asarray(new_lw), 0.0)

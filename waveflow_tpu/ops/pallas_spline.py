@@ -47,7 +47,12 @@ def _spline_eval_kernel(x_ref, coeffs_ref, table_ref, out_ref):
     w = jnp.where(col == idx_b, 1.0 - frac_b, 0.0) \
         + jnp.where(col == idx_b + 1, frac_b, 0.0)
 
-    basis = jnp.dot(w, table, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the default TPU f32 matmul decomposes to bf16
+    # passes and costs ~8e-3 relative error in the interpolation weights —
+    # unacceptable for energies.  The matmul is tiny, so full precision is
+    # free in wall-clock.
+    basis = jnp.dot(w, table, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     out_ref[:, 0] = jnp.sum(basis * coeffs_ref[:], axis=-1)
 
 
@@ -101,5 +106,5 @@ def onehot_matmul_eval(table: jnp.ndarray, coeffs: jnp.ndarray,
                                    x.ndim)
     w = jnp.where(col == idx[..., None], 1.0 - frac[..., None], 0.0) \
         + jnp.where(col == idx[..., None] + 1.0, frac[..., None], 0.0)
-    basis = w @ table
+    basis = jnp.matmul(w, table, precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(basis * coeffs, axis=-1)

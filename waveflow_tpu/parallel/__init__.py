@@ -5,3 +5,6 @@ from waveflow_tpu.parallel.mesh import (
 from waveflow_tpu.parallel.sharding import (
     make_sharded_sampler, make_sharded_train_step, psum_mean, shard_batch,
 )
+from waveflow_tpu.parallel.resample import (
+    resample_walkers_sharded, systematic_indices,
+)

@@ -5,3 +5,4 @@ from waveflow_tpu.utils.observables import (
     clipped_energy_estimate, moving_average, uniform_sliding_average,
     uniform_sliding_stdev,
 )
+from waveflow_tpu.utils.profiling import time_fn, trace
