@@ -18,10 +18,13 @@ import numpy as np
 import optax
 
 
-def build(batch_size=256, laplacian_mode='hvp'):
+def build(batch_size=256, laplacian_mode='hvp', estimator='clipped_score',
+          window=100):
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
     from waveflow_tpu.models import get_waveflow_model
     from waveflow_tpu.physics import construct_hamiltonian_function, system_catalogue
-    from waveflow_tpu.vmc.estimators import make_train_step
+    from waveflow_tpu.vmc.estimators import make_train_window
 
     protons, n_particle = system_catalogue[1]['He']
     init = get_waveflow_model(n_particle, base_spline_degree=6,
@@ -35,48 +38,45 @@ def build(batch_size=256, laplacian_mode='hvp'):
         laplacian_mode=laplacian_mode)
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
-    sample_jit = jax.jit(sample, static_argnums=(2,))
-    step_jit = jax.jit(make_train_step(psi, h_fn, opt))
-    return params, opt_state, sample_jit, step_jit, batch_size
+    window_jit = jax.jit(make_train_window(
+        psi, h_fn, sample, opt, batch_size, window, estimator=estimator))
+    return params, opt_state, window_jit, window
 
 
-def time_loop(params, opt_state, sample_jit, step_jit, batch_size,
-              n_iters=30):
+def time_windows(params, opt_state, window_jit, window, n_iters=5):
     rng = jax.random.PRNGKey(1)
     baseline = jnp.zeros(())
-    # warmup / compile
-    rng, k = jax.random.split(rng)
-    batch = sample_jit(k, params, batch_size)
-    params, opt_state, loss = step_jit(params, opt_state, batch, baseline)
-    jax.block_until_ready(loss)
+    params, opt_state, rng, baseline, losses = window_jit(
+        params, opt_state, rng, baseline)          # compile + warmup
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        rng, k = jax.random.split(rng)
-        batch = sample_jit(k, params, batch_size)
-        params, opt_state, loss = step_jit(params, opt_state, batch, baseline)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n_iters
-    return dt, float(loss)
+        params, opt_state, rng, baseline, losses = window_jit(
+            params, opt_state, rng, baseline)
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / (n_iters * window)
+    return dt, float(losses[-1])
 
 
 def main():
     batch_size = 256
-    params, opt_state, sample_jit, step_jit, bs = build(batch_size)
-    dt, loss = time_loop(params, opt_state, sample_jit, step_jit, bs)
+    params, opt_state, window_jit, window = build(batch_size)
+    dt, loss = time_windows(params, opt_state, window_jit, window)
     walker_steps_per_sec = batch_size / dt
 
-    # reference-design proxy: dense-Hessian Laplacian path (the reference's
-    # physics.py:50-52) with the same model — measures the step only
-    params_d, opt_d, sample_d, step_d, _ = build(batch_size,
-                                                 laplacian_mode='dense')
-    dt_dense, _ = time_loop(params_d, opt_d, sample_d, step_d, bs,
-                            n_iters=10)
+    # reference-design proxy: the reference's estimator (3rd derivatives
+    # through the flow) with its dense-Hessian Laplacian (physics.py:50-52),
+    # same model/batch, same fused windowing so only the estimator design
+    # differs
+    params_d, opt_d, window_d, _ = build(batch_size, laplacian_mode='dense',
+                                         estimator='reference')
+    dt_dense, _ = time_windows(params_d, opt_d, window_d, window, n_iters=3)
     vs_baseline = dt_dense / dt
 
     print(json.dumps({
         "metric": "vmc_walker_steps_per_sec",
         "value": round(walker_steps_per_sec, 1),
-        "unit": "walkers/s (He-1d L=10, batch 256, sample+train step)",
+        "unit": "walkers/s (He-1d L=10, batch 256, sample+train epoch)",
         "vs_baseline": round(vs_baseline, 3),
     }))
 

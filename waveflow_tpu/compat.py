@@ -1,0 +1,185 @@
+"""Reference-API compatibility layer.
+
+Users of `aspuru-guzik-group/waveflow` can keep their call sites: this
+module re-exposes the reference's public entry points with the original
+signatures and return conventions, implemented on the TPU-native kernels.
+
+Covered surfaces:
+  * waveflow.splines.{MSpline_fun, ISpline_fun, BSpline_fun}
+    (msplines_jax.py:67, isplines_jax.py:84, bsplines_jax.py:52)
+  * waveflow.vqmc.ModelTrainer (vqmc.py:19)
+  * the flows/bijections/model-factory names, re-exported 1:1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from waveflow_tpu.ops import (
+    batched_monotone_inverse, get_tables, make_bias_remover,
+    make_boundary_projector, make_evaluator, sample_linear_density,
+    sample_squared_amplitude,
+)
+
+# --- bijections / models / factory: same names as the reference -----------
+from waveflow_tpu.bijections import (                       # noqa: F401
+    ActNorm, AffineCoupling, AffineCouplingSplit, BatchNorm, BoxTransformLayer,
+    FixedInvertibleLinear, IMADE, Invert, InvertibleLinear, Logit, MADE,
+    NeuralSplineCoupling, Reverse, Serial, Shuffle, Sigmoid,
+)
+from waveflow_tpu.models import (                           # noqa: F401
+    Flow, GMM, InvFlow, MFlow, Normal, Uniform, Waveflow, get_model,
+    get_waveflow_model,
+)
+from waveflow_tpu.bijections.masks import masked_conditioner
+
+
+def get_masked_transform(return_simple_masked_transform=False,
+                         allow_negative_params=False):
+    """model_factory.py:7-93 equivalent."""
+    if return_simple_masked_transform:
+        from waveflow_tpu.bijections.masks import simple_masked_transform
+        return simple_masked_transform()
+    return masked_conditioner(allow_negative_params=allow_negative_params)
+
+
+# --- spline init_fun factories (reference L1 interface) --------------------
+
+def _spline_init(kind):
+    def factory():
+        def init_fun(rng, k, n_internal_knots, cardinal_splines=True,
+                     zero_border=False, reverse_fun_tol=1e-6,
+                     use_cached_bases=True, cached_bases_path_root=None,
+                     n_mesh_points=1000, constraints_dict_left=None,
+                     constraints_dict_right=None):
+            del cardinal_splines, use_cached_bases, cached_bases_path_root
+            if constraints_dict_left is None:
+                constraints_dict_left = {0: 0.0}
+            if constraints_dict_right is None:
+                constraints_dict_right = {0: 1.0} if kind == 'I' else {0: 0.0}
+
+            tabs = get_tables(kind, k, n_internal_knots, n_mesh=n_mesh_points)
+            use_ob = kind == 'B'
+            ev = make_evaluator(tabs, use_ob=False)
+            ev_eval = make_evaluator(tabs, use_ob=use_ob)
+            norm = 'l2' if kind == 'B' else 'sum'
+            project = make_boundary_projector(
+                ev, constraints_dict_left, constraints_dict_right,
+                normalization=norm,
+                ispline_right_convention=(kind == 'I'))
+
+            n_b = ev.n_bases
+            n_params = n_b - 2 if zero_border else n_b
+            if kind == 'B':
+                initial = jax.random.uniform(rng, (n_params,), minval=-1,
+                                             maxval=1)
+                initial = initial / jnp.sqrt(jnp.sum(initial ** 2))
+            else:
+                initial = jax.random.uniform(rng, (n_params,))
+                initial = initial / jnp.sum(initial)
+
+            ob_to_b = (jnp.asarray(tabs.ob_to_b) if use_ob else None)
+
+            def full_params(p):
+                if zero_border:
+                    z = jnp.zeros(p.shape[:-1] + (1,))
+                    return jnp.concatenate([z, p, z], axis=-1)
+                return p
+
+            def eval_coeffs(p):
+                p = full_params(p)
+                if kind == 'B':
+                    c = jnp.matmul(p, ob_to_b,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    return c / jnp.sqrt(jnp.sum(c ** 2, axis=-1,
+                                                keepdims=True))
+                return p
+
+            def apply_fun_vec(params, x):
+                return ev_eval(eval_coeffs(params), x)
+
+            def apply_fun_vec_grad(params, x):
+                return ev_eval(eval_coeffs(params), x, d=1)
+
+            knots = jnp.asarray(tabs.knots)
+            enforce = jax.jit(project)
+
+            if kind == 'I':
+                def reverse_fun_vec(params, y):
+                    return batched_monotone_inverse(ev, full_params(params), y)
+                remove_bias = jax.jit(make_bias_remover(n_b, k, 'I'))
+                return (initial, jax.jit(apply_fun_vec),
+                        jax.jit(apply_fun_vec_grad), jax.jit(reverse_fun_vec),
+                        knots, enforce, remove_bias)
+            if kind == 'M':
+                def sample_fun_vec(rng_array, params, num_samples):
+                    # reference signature: per-sample rng array, n draws each
+                    u = jax.vmap(lambda r: jax.random.uniform(
+                        r, (num_samples,)))(rng_array)
+                    c = full_params(params)
+                    cols = [sample_linear_density(ev, c, u[:, i])
+                            for i in range(num_samples)]
+                    return jnp.stack(cols, axis=-1)
+                remove_bias = jax.jit(make_bias_remover(n_b, k, 'M'))
+                return (initial, jax.jit(apply_fun_vec),
+                        jax.jit(apply_fun_vec_grad), sample_fun_vec, knots,
+                        enforce, remove_bias)
+            # B-spline
+            def sample_fun_vec(rng_array, params, num_samples):
+                u = jax.vmap(lambda r: jax.random.uniform(
+                    r, (num_samples,)))(rng_array)
+                c = eval_coeffs(params)
+                cols = [sample_squared_amplitude(ev_eval, c, u[:, i])
+                        for i in range(num_samples)]
+                return jnp.stack(cols, axis=-1)
+            return (initial, jax.jit(apply_fun_vec),
+                    jax.jit(apply_fun_vec_grad), sample_fun_vec, knots,
+                    enforce)
+
+        return init_fun
+
+    return factory
+
+
+MSpline_fun = _spline_init('M')
+ISpline_fun = _spline_init('I')
+BSpline_fun = _spline_init('B')
+
+
+# --- trainer ---------------------------------------------------------------
+
+class ModelTrainer:
+    """Drop-in for waveflow.vqmc.ModelTrainer (vqmc.py:19-51): attribute
+    pokes like ``trainer.num_knots = 23`` keep working because the config
+    is materialized lazily at start_training()."""
+
+    def __init__(self, system_name='He', learning_rate=1e-4, box_length=10,
+                 num_epochs=200000, batch_size=128, log_every=2000):
+        self.system_name = system_name
+        self.learning_rate = learning_rate
+        self.box_length = box_length
+        self.num_epochs = num_epochs
+        self.batch_size = batch_size
+        self.log_every = log_every
+        self.n_space_dimension = 1
+        self.xu_coord_type = 'mean'
+        self.spline_degree = 6
+        self.num_knots = 23
+        self.n_flow_layer = 3
+        self.window = 100
+        self.save_dir = None
+
+    def start_training(self, restart=False):
+        from waveflow_tpu.vmc import VMCConfig, VMCTrainer
+        cfg = VMCConfig(
+            system_name=self.system_name,
+            learning_rate=self.learning_rate,
+            box_length=self.box_length, num_epochs=self.num_epochs,
+            batch_size=self.batch_size, log_every=self.log_every,
+            xu_coord_type=self.xu_coord_type,
+            spline_degree=self.spline_degree, num_knots=self.num_knots,
+            n_flow_layers=self.n_flow_layer, window=self.window,
+            save_dir=self.save_dir)
+        trainer = VMCTrainer(cfg)
+        return trainer.train(restart=restart)

@@ -19,6 +19,7 @@ than per-sample rejection while-loops (bsplines_jax.py:144-169).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import random
 
@@ -58,9 +59,13 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
             set_nn_output_grad_to_zero=set_nn_output_grad_to_zero)
 
         def ob_coeffs(sp_params, u):
-            """Conditional OB coefficients c with unit L2 norm: (B, D, n_b)."""
+            """Conditional OB coefficients c with unit L2 norm: (B, D, n_b).
+
+            HIGHEST precision: this matmul sets the normalization of ψ;
+            TPU default f32 matmuls run as bf16 passes (~8e-3 rel. error)
+            which would leak into energies via the Laplacian."""
             w = project(sp_apply(sp_params, u))
-            c = w @ ob_to_b
+            c = jnp.matmul(w, ob_to_b, precision=jax.lax.Precision.HIGHEST)
             return c / jnp.sqrt(jnp.sum(c ** 2, axis=-1, keepdims=True))
 
         def _forward(params, inputs):

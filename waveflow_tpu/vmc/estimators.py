@@ -22,9 +22,22 @@ import jax.numpy as jnp
 PSI_EPS = 1e-8  # vqmc.py:200
 
 
+def _safe_psi(psi_val):
+    """Sign-aware denominator guard.
+
+    The reference adds +1e-8 in the primal but divides by the *raw* psi in
+    the tangent (vqmc.py:200,208): a walker landing exactly on a node
+    (psi=0, which fermionic antisymmetry makes a measure-zero but real
+    event) produces inf gradients and NaNs the whole run.  Clamping |psi|
+    away from zero while keeping its sign bounds E_L and the score term
+    without biasing any walker with |psi| > eps."""
+    sign = jnp.where(psi_val >= 0, 1.0, -1.0)
+    return sign * jnp.maximum(jnp.abs(psi_val), PSI_EPS)
+
+
 @jax.custom_jvp
 def local_energy(energies_val, psi_val, baseline):
-    return energies_val / (psi_val + PSI_EPS)
+    return energies_val / _safe_psi(psi_val)
 
 
 @local_energy.defjvp
@@ -32,31 +45,78 @@ def _local_energy_jvp(primals, tangents):
     energies_val, psi_val, baseline = primals
     t_energies, t_psi, _ = tangents
     e_loc = local_energy(energies_val, psi_val, baseline)
+    psi_s = _safe_psi(psi_val)
     # score-function term + quotient rule (vqmc.py:208)
-    grad = (2 * t_psi * (e_loc - baseline) / psi_val
-            + (t_energies * psi_val - energies_val * t_psi) / psi_val ** 2)
+    grad = (2 * t_psi * (e_loc - baseline) / psi_s
+            + (t_energies * psi_s - energies_val * t_psi) / psi_s ** 2)
     return e_loc, grad
 
 
-def make_loss_fn(psi, h_fn):
-    """loss(params, batch, baseline) -> scalar mean local energy with the
-    fused gradient estimator."""
+def make_loss_fn(psi, h_fn, estimator: str = 'clipped_score',
+                 clip_scale: float = 5.0,
+                 energy_clip: float | None = None):
+    """loss(params, batch, baseline) -> scalar; gradient is the VMC
+    energy-gradient estimator selected by ``estimator``:
+
+    'clipped_score' (default, the modern standard — FermiNet/PauliNet
+    style): since E(θ) = E_{|ψ|²}[E_L] and the Hermitian term vanishes in
+    expectation, the exact gradient is 2 E[(E_L − E)·∂log|ψ|].  We clip
+    E_L to median ± clip_scale × MAD *of the batch* before centering: the
+    clip window follows the data, so runaway near-node walkers are tamed
+    without the runaway bias a fixed absolute clip invites (a fixed ±100
+    clip lets the optimizer park mass where E_L pegs the negative rail —
+    observed as reported energies far below the exact ground state).
+    stop_gradient on E_L also means no third derivatives flow — the
+    backward pass is substantially cheaper than the reference's.
+    Reported value: the clipped batch mean (robust).
+
+    'reference': the reference's fused custom-JVP estimator
+    (vqmc.py:193-212) with its running-average baseline; optional
+    ``energy_clip`` applies a fixed ±clip in value and gradient.
+    """
+
+    if estimator == 'reference':
+        def loss_fn(params, batch, baseline):
+            psi_val = psi(params, batch)[:, None]
+            energies_val = h_fn(params, batch)
+            e_loc = local_energy(energies_val, psi_val, baseline)
+            if energy_clip is not None:
+                e_loc = jnp.clip(e_loc, -energy_clip, energy_clip)
+            return e_loc.mean()
+        return loss_fn
+
+    if estimator != 'clipped_score':
+        raise ValueError(f"unknown estimator {estimator!r}")
 
     def loss_fn(params, batch, baseline):
-        psi_val = psi(params, batch)[:, None]
-        energies_val = h_fn(params, batch)
-        return local_energy(energies_val, psi_val, baseline).mean()
+        psi_val = psi(params, batch)
+        energies_val = h_fn(params, batch)[:, 0]
+        e_loc = jax.lax.stop_gradient(
+            energies_val / _safe_psi(psi_val))
+        center = jnp.median(e_loc)
+        mad = jnp.mean(jnp.abs(e_loc - center))
+        e_c = jnp.clip(e_loc, center - clip_scale * mad,
+                       center + clip_scale * mad)
+        log_abs_psi = jnp.log(jnp.abs(psi_val) + PSI_EPS)
+        weights = jax.lax.stop_gradient(e_c - e_c.mean())
+        surrogate = 2.0 * jnp.mean(weights * log_abs_psi)
+        # value = robust energy estimate; gradient = score-only estimator
+        return surrogate - jax.lax.stop_gradient(surrogate) \
+            + jax.lax.stop_gradient(e_c.mean())
 
     return loss_fn
 
 
-def make_train_step(psi, h_fn, optimizer, pmean_axis=None):
+def make_train_step(psi, h_fn, optimizer, pmean_axis=None,
+                    estimator: str = 'clipped_score',
+                    energy_clip: float | None = None):
     """Jitted training step: value_and_grad of the fused estimator + optax.
 
     If ``pmean_axis`` is given the loss and gradients are averaged over that
     named mesh axis (walker-sharded data parallelism — new capability, the
     reference is single-device only, SURVEY §2)."""
-    loss_fn = make_loss_fn(psi, h_fn)
+    loss_fn = make_loss_fn(psi, h_fn, estimator=estimator,
+                           energy_clip=energy_clip)
 
     def step(params, opt_state, batch, baseline):
         loss_val, grads = jax.value_and_grad(loss_fn)(params, batch, baseline)
@@ -71,7 +131,9 @@ def make_train_step(psi, h_fn, optimizer, pmean_axis=None):
 
 
 def make_train_window(psi, h_fn, sample_fn, optimizer, batch_size: int,
-                      window: int, pmean_axis=None):
+                      window: int, pmean_axis=None,
+                      estimator: str = 'clipped_score',
+                      energy_clip: float | None = None):
     """Fuse `window` sample+update epochs into one on-device lax.scan.
 
     The reference dispatches two device calls per epoch and syncs the loss
@@ -84,7 +146,8 @@ def make_train_window(psi, h_fn, sample_fn, optimizer, batch_size: int,
     Returns step(params, opt_state, rng, baseline) ->
       (params, opt_state, rng, new_baseline, losses (window,)).
     """
-    step = make_train_step(psi, h_fn, optimizer, pmean_axis=pmean_axis)
+    step = make_train_step(psi, h_fn, optimizer, pmean_axis=pmean_axis,
+                           estimator=estimator, energy_clip=energy_clip)
 
     def run_window(params, opt_state, rng, baseline):
         def body(carry, _):

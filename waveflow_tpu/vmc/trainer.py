@@ -50,6 +50,20 @@ class VMCConfig:
     seed: int = 2
     save_dir: str | None = None
     save_artifacts: bool = False      # psi grids / density slices / clouds
+    # 'highest' keeps every f32 matmul exact on TPU (defaults decompose to
+    # bf16 MXU passes, ~8e-3 rel. error, which pollutes Laplacians); the
+    # model is tiny so the cost is negligible
+    matmul_precision: str = 'highest'
+    # global-norm gradient clip; heavy-tailed local energies occasionally
+    # produce huge score-function gradients (the reference's policy-grad
+    # variant clips elementwise at ±10, vqmc.py:187). None disables.
+    grad_clip: float | None = 10.0
+    # gradient estimator: 'clipped_score' (median±MAD-clipped score-only
+    # gradient, the modern standard — stable over 100k+ epochs) or
+    # 'reference' (the reference's fused custom-JVP estimator;
+    # energy_clip optionally applies a fixed ±clip there)
+    estimator: str = 'clipped_score'
+    energy_clip: float | None = None
 
     def resolved_save_dir(self) -> str:
         if self.save_dir is not None:
@@ -66,6 +80,9 @@ class VMCTrainer:
             config = VMCConfig(**overrides)
         self.config = config
         c = config
+        if c.matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              c.matmul_precision)
         self.protons, self.n_particle = system_catalogue[
             c.n_space_dimension][c.system_name]
 
@@ -90,13 +107,21 @@ class VMCTrainer:
             psi, protons=self.protons,
             n_space_dimensions=c.n_space_dimension, eps=0.0)
 
-        self.optimizer = optax.adam(c.learning_rate)
+        if c.grad_clip is not None:
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(c.grad_clip),
+                optax.adam(c.learning_rate))
+        else:
+            self.optimizer = optax.adam(c.learning_rate)
         self.opt_state = self.optimizer.init(params)
         self.sample_jit = jax.jit(sample, static_argnums=(2,))
         self.step_jit = jax.jit(
-            make_train_step(psi, self.h_fn, self.optimizer))
+            make_train_step(psi, self.h_fn, self.optimizer,
+                            estimator=c.estimator,
+                            energy_clip=c.energy_clip))
         self.window_jit = jax.jit(make_train_window(
-            psi, self.h_fn, sample, self.optimizer, c.batch_size, c.window))
+            psi, self.h_fn, sample, self.optimizer, c.batch_size, c.window,
+            estimator=c.estimator, energy_clip=c.energy_clip))
 
         self.epoch = 0
         self.losses: list = []
