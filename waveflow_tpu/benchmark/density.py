@@ -73,7 +73,6 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
     def loss_fn(p, batch):
         return -log_pdf(p, batch).mean()
 
-    @jax.jit
     def step(p, opt_state, perm_key):
         batch = jax.random.permutation(perm_key, X_dev, axis=0)
         loss, grads = jax.value_and_grad(loss_fn)(p, batch)
@@ -81,12 +80,30 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
         p = optax.apply_updates(p, updates)
         return p, opt_state, loss
 
+    # fuse epochs into on-device scan blocks (one dispatch per block; same
+    # trick as vmc.estimators.make_train_window — host round-trips dominate
+    # at TPU speeds)
+    block = max(1, min(100, log_every))
+
+    @jax.jit
+    def run_block(p, opt_state, rng):
+        def body(carry, _):
+            p, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            p, opt_state, loss = step(p, opt_state, k)
+            return (p, opt_state, rng), loss
+
+        (p, opt_state, rng), losses = jax.lax.scan(
+            body, (p, opt_state, rng), None, length=block)
+        return p, opt_state, rng, losses
+
     history = {'losses': [], 'kl': [], 'hellinger': [], 'reconstruction': []}
-    for epoch in range(1, num_epochs + 1):
-        rng, perm_key = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, perm_key)
-        history['losses'].append(float(loss))
-        if epoch % log_every == 0 or epoch == num_epochs:
+    epoch = 0
+    while epoch < num_epochs:
+        params, opt_state, rng, losses = run_block(params, opt_state, rng)
+        history['losses'].extend(np.asarray(losses).tolist())
+        epoch += block
+        if epoch % log_every == 0 or epoch >= num_epochs:
             rng, s_rng = jax.random.split(rng)
             model_samples, orig = sample(s_rng, params,
                                          num_samples=n_model_sample,
@@ -98,7 +115,7 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
             history['hellinger'].append(hell)
             history['reconstruction'].append(recon)
             if verbose:
-                print(f"epoch {epoch} | loss {loss:.4f} | KL {kl:.4f} | "
+                print(f"epoch {epoch} | loss {history['losses'][-1]:.4f} | KL {kl:.4f} | "
                       f"H² {hell:.4f} | recon {recon:.2e}")
             if save_dir:
                 path = Path(save_dir)

@@ -54,7 +54,8 @@ def _local_energy_jvp(primals, tangents):
 
 def make_loss_fn(psi, h_fn, estimator: str = 'clipped_score',
                  clip_scale: float = 5.0,
-                 energy_clip: float | None = None):
+                 energy_clip: float | None = None,
+                 pmean_axis=None):
     """loss(params, batch, baseline) -> scalar; gradient is the VMC
     energy-gradient estimator selected by ``estimator``:
 
@@ -93,16 +94,24 @@ def make_loss_fn(psi, h_fn, estimator: str = 'clipped_score',
         energies_val = h_fn(params, batch)[:, 0]
         e_loc = jax.lax.stop_gradient(
             energies_val / _safe_psi(psi_val))
-        center = jnp.median(e_loc)
-        mad = jnp.mean(jnp.abs(e_loc - center))
+        # clipping statistics over the *global* walker population: under a
+        # walker-sharded mesh the median/MAD must agree across devices or
+        # each shard clips in its own window and the pmean'd gradient no
+        # longer matches the single-device estimator
+        e_stat = (jax.lax.all_gather(e_loc, pmean_axis, tiled=True)
+                  if pmean_axis is not None else e_loc)
+        center = jnp.median(e_stat)
+        mad = jnp.mean(jnp.abs(e_stat - center))
         e_c = jnp.clip(e_loc, center - clip_scale * mad,
                        center + clip_scale * mad)
+        e_c_mean = jnp.mean(jnp.clip(e_stat, center - clip_scale * mad,
+                                     center + clip_scale * mad))
         log_abs_psi = jnp.log(jnp.abs(psi_val) + PSI_EPS)
-        weights = jax.lax.stop_gradient(e_c - e_c.mean())
+        weights = jax.lax.stop_gradient(e_c - e_c_mean)
         surrogate = 2.0 * jnp.mean(weights * log_abs_psi)
         # value = robust energy estimate; gradient = score-only estimator
         return surrogate - jax.lax.stop_gradient(surrogate) \
-            + jax.lax.stop_gradient(e_c.mean())
+            + jax.lax.stop_gradient(e_c_mean)
 
     return loss_fn
 
@@ -116,7 +125,7 @@ def make_train_step(psi, h_fn, optimizer, pmean_axis=None,
     named mesh axis (walker-sharded data parallelism — new capability, the
     reference is single-device only, SURVEY §2)."""
     loss_fn = make_loss_fn(psi, h_fn, estimator=estimator,
-                           energy_clip=energy_clip)
+                           energy_clip=energy_clip, pmean_axis=pmean_axis)
 
     def step(params, opt_state, batch, baseline):
         loss_val, grads = jax.value_and_grad(loss_fn)(params, batch, baseline)
