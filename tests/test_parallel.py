@@ -140,3 +140,26 @@ def test_sharded_walker_resampling():
     new_pos, new_lw = mapped(positions, log_w, keys)
     assert (np.asarray(new_pos)[:, 0] >= total / 2).all()
     np.testing.assert_allclose(np.asarray(new_lw), 0.0)
+
+
+def test_sharded_train_window(setup):
+    """Fused multi-chip window: sharded sampling + pmean'd updates, two
+    dispatches, finite descending losses, baseline propagates."""
+    from waveflow_tpu.parallel import make_sharded_train_window
+    params, psi, _, sample, h_fn, opt = setup
+    mesh = make_walker_mesh()
+    n_dev = mesh.devices.size
+    opt_state = opt.init(params)
+    win = make_sharded_train_window(psi, h_fn, sample, opt,
+                                    global_batch=8 * n_dev, window=5,
+                                    mesh=mesh)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
+    baseline = jnp.zeros(())
+    params, opt_state, keys, baseline, losses = win(params, opt_state, keys,
+                                                    baseline)
+    params, opt_state, keys, baseline, losses2 = win(params, opt_state, keys,
+                                                     baseline)
+    assert losses.shape == (5,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert np.isfinite(np.asarray(losses2)).all()
+    assert np.isfinite(float(baseline))

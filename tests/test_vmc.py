@@ -69,3 +69,18 @@ def test_vmc_energy_descends_on_simple_system():
     first = losses[:40].mean()
     last = losses[-40:].mean()
     assert last < first + 0.5, (first, last)
+
+
+def test_vmc_trainer_data_parallel():
+    """Trainer with data_parallel=True shards walkers over the 8-device CPU
+    mesh and trains with finite losses."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, data_parallel=True,
+                    save_dir='/tmp/vmc_dp_test')
+    t = VMCTrainer(cfg)
+    assert t.mesh is not None and t.mesh.devices.size == 8
+    losses = t.train(num_epochs=20, verbose=False)
+    assert len(losses) == 20
+    assert np.isfinite(losses).all()

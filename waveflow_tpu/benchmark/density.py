@@ -97,6 +97,9 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
             body, (p, opt_state, rng), None, length=block)
         return p, opt_state, rng, losses
 
+    sample_jit = jax.jit(sample, static_argnames=('num_samples',
+                                                  'return_original_samples'))
+
     history = {'losses': [], 'kl': [], 'hellinger': [], 'reconstruction': []}
     epoch = 0
     while epoch < num_epochs:
@@ -105,9 +108,9 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
         epoch += block
         if epoch % log_every == 0 or epoch >= num_epochs:
             rng, s_rng = jax.random.split(rng)
-            model_samples, orig = sample(s_rng, params,
-                                         num_samples=n_model_sample,
-                                         return_original_samples=True)
+            model_samples, orig = sample_jit(s_rng, params,
+                                             num_samples=n_model_sample,
+                                             return_original_samples=True)
             ms = np.asarray(model_samples)
             kl, hell = kde_metrics(log_pdf, params, ms)
             recon = reconstruction_distance(log_pdf, params, ms, orig)

@@ -11,12 +11,16 @@ import numpy as np
 
 
 def pdf_grid_eval(log_pdf, params, ngrid: int = 300):
-    """Model pdf on the unit-square grid: (ngrid, ngrid) + flat grid."""
+    """Model pdf on the unit-square grid: (ngrid, ngrid) + flat grid.
+
+    Jitted: 90k eager evals through a remote-TPU tunnel would dominate the
+    whole benchmark otherwise."""
+    import jax
     import jax.numpy as jnp
     x = np.linspace(0.0, 1.0, ngrid)
     xv, yv = np.meshgrid(x, x)
     grid = np.stack([xv.ravel(), yv.ravel()], -1).astype(np.float32)
-    lp = np.asarray(log_pdf(params, jnp.asarray(grid)))
+    lp = np.asarray(jax.jit(log_pdf)(params, jnp.asarray(grid)))
     return lp.reshape(ngrid, ngrid), grid
 
 
@@ -40,9 +44,11 @@ def reconstruction_distance(log_pdf, params, model_samples,
                             original_samples) -> float:
     """Mean distance between prior samples and their round-trip
     reconstruction u = T(T^{-1}(u)) (helpers.py:206-208)."""
+    import jax
     import jax.numpy as jnp
-    _, reconstructed = log_pdf(params, jnp.asarray(model_samples),
-                               return_sample=True)
+    _, reconstructed = jax.jit(
+        lambda p, x: log_pdf(p, x, return_sample=True))(
+            params, jnp.asarray(model_samples))
     return float(np.linalg.norm(
         np.asarray(original_samples) - np.asarray(reconstructed),
         axis=-1).mean())

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from waveflow_tpu.parallel.mesh import WALKER_AXIS
-from waveflow_tpu.vmc.estimators import make_train_step
+from waveflow_tpu.vmc.estimators import make_train_step, make_train_window
 
 
 def make_sharded_train_step(psi, h_fn, optimizer, mesh: Mesh,
@@ -71,6 +71,42 @@ def make_sharded_sampler(sample_fn, mesh: Mesh,
         return sharded_sample
 
     return make
+
+
+def make_sharded_train_window(psi, h_fn, sample_fn, optimizer,
+                              global_batch: int, window: int, mesh: Mesh,
+                              axis_name: str = WALKER_AXIS,
+                              estimator: str = 'clipped_score'):
+    """The production multi-chip training loop: `window` fused epochs of
+    [sharded local sampling -> local gradients -> pmean] per dispatch.
+
+    Each device samples global_batch/n_dev walkers with its own PRNG key
+    and the per-epoch all-reduce inside the estimator is the only
+    communication.  Signature: step(params, opt_state, keys, baseline) ->
+    (params, opt_state, keys, new_baseline, losses) with keys (n_dev, 2)
+    sharded over the axis.
+    """
+    n_dev = mesh.devices.size
+    if global_batch % n_dev != 0:
+        raise ValueError(
+            f"global_batch {global_batch} not divisible by mesh {n_dev}")
+    local_batch = global_batch // n_dev
+    local_window = make_train_window(psi, h_fn, sample_fn, optimizer,
+                                     local_batch, window,
+                                     pmean_axis=axis_name,
+                                     estimator=estimator)
+
+    def local(params, opt_state, keys, baseline):
+        params, opt_state, rng, new_baseline, losses = local_window(
+            params, opt_state, keys[0], baseline)
+        return params, opt_state, rng[None], new_baseline, losses
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P()),
+        out_specs=(P(), P(), P(axis_name), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
 
 
 def psum_mean(x, axis_name: str = WALKER_AXIS):

@@ -64,6 +64,9 @@ class VMCConfig:
     # energy_clip optionally applies a fixed ±clip there)
     estimator: str = 'clipped_score'
     energy_clip: float | None = None
+    # shard the walker batch over all visible devices (1-chip runs are
+    # unaffected: a 1-device mesh is the identity sharding)
+    data_parallel: bool = False
 
     def resolved_save_dir(self) -> str:
         if self.save_dir is not None:
@@ -122,6 +125,14 @@ class VMCTrainer:
         self.window_jit = jax.jit(make_train_window(
             psi, self.h_fn, sample, self.optimizer, c.batch_size, c.window,
             estimator=c.estimator, energy_clip=c.energy_clip))
+        self.mesh = None
+        if c.data_parallel:
+            from waveflow_tpu.parallel import (make_sharded_train_window,
+                                               make_walker_mesh)
+            self.mesh = make_walker_mesh()
+            self.sharded_window_jit = make_sharded_train_window(
+                psi, self.h_fn, sample, self.optimizer, c.batch_size,
+                c.window, self.mesh, estimator=c.estimator)
 
         self.epoch = 0
         self.losses: list = []
@@ -194,10 +205,18 @@ class VMCTrainer:
             # fast path: fused on-device windows (one dispatch per
             # c.window epochs — see make_train_window)
             n_windows, rem = divmod(num_epochs, c.window)
+            if self.mesh is not None:
+                n_dev = self.mesh.devices.size
+                keys = jax.random.split(self.rng, n_dev)
             for w in range(n_windows):
-                (self.params, self.opt_state, self.rng, baseline,
-                 losses) = self.window_jit(self.params, self.opt_state,
-                                           self.rng, baseline)
+                if self.mesh is not None:
+                    (self.params, self.opt_state, keys, baseline,
+                     losses) = self.sharded_window_jit(
+                        self.params, self.opt_state, keys, baseline)
+                else:
+                    (self.params, self.opt_state, self.rng, baseline,
+                     losses) = self.window_jit(self.params, self.opt_state,
+                                               self.rng, baseline)
                 self.losses.extend(np.asarray(losses).tolist())
                 self.epoch = start + (w + 1) * c.window
                 if self.epoch % c.log_every < c.window:
