@@ -131,3 +131,13 @@ def test_exact_he_1d_matches_reference_scale():
     protons = np.array([[0.0], [0.0]])
     E, _, _ = exact_ground_state_2p(protons, 10.0, 120)
     assert -1.9 < E < -1.75, E
+
+
+def test_exact_h2_1d_energies():
+    """H2-1d (protons at ±0.9) oracle values, grid-converged to ~2e-4."""
+    from waveflow_tpu.physics import exact_ground_state_1p, exact_ground_state_2p
+    protons = np.array([[-0.9], [0.9]])
+    E2, _, _ = exact_ground_state_2p(protons, 10.0, 140)
+    assert abs(E2 - (-1.7136)) < 5e-3, E2
+    E1, _, _ = exact_ground_state_1p(protons, 10.0, 2000)
+    assert abs(E1 - (-1.2901)) < 5e-3, E1

@@ -119,7 +119,7 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
             history['reconstruction'].append(recon)
             if verbose:
                 print(f"epoch {epoch} | loss {history['losses'][-1]:.4f} | KL {kl:.4f} | "
-                      f"H² {hell:.4f} | recon {recon:.2e}")
+                      f"H² {hell:.4f} | recon {recon:.2e}", flush=True)
             if save_dir:
                 path = Path(save_dir)
                 path.mkdir(parents=True, exist_ok=True)
