@@ -84,3 +84,32 @@ def test_vmc_trainer_data_parallel():
     losses = t.train(num_epochs=20, verbose=False)
     assert len(losses) == 20
     assert np.isfinite(losses).all()
+
+
+def test_divergence_recovery_restores_good_state(small_trainer, monkeypatch):
+    """Inject a NaN window and verify the trainer restores the last good
+    snapshot and keeps training with finite losses."""
+    import waveflow_tpu.vmc.trainer as trainer_mod
+    t = small_trainer
+    t.config.divergence_recovery = True
+    t.config.window = 5
+    # rebuild the window fn at the new window size
+    from waveflow_tpu.vmc.estimators import make_train_window
+    t.window_jit = jax.jit(make_train_window(
+        t.psi, t.h_fn, t._sample, t.optimizer, t.config.batch_size, 5))
+
+    calls = {'n': 0}
+    real_window = t.window_jit
+
+    def poisoned(params, opt_state, rng, baseline):
+        p, o, r, b, losses = real_window(params, opt_state, rng, baseline)
+        calls['n'] += 1
+        if calls['n'] == 2:   # second window NaNs
+            losses = losses.at[2].set(jnp.nan)
+        return p, o, r, b, losses
+
+    t.window_jit = poisoned
+    losses = t.train(num_epochs=20, verbose=False)
+    # the poisoned window's losses are dropped, others recorded & finite
+    recorded = np.asarray(losses[-15:])
+    assert np.isfinite(recorded).all()

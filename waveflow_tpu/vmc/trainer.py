@@ -67,6 +67,10 @@ class VMCConfig:
     # shard the walker batch over all visible devices (1-chip runs are
     # unaffected: a 1-device mesh is the identity sharding)
     data_parallel: bool = False
+    # on a non-finite loss window, restore the last good state and continue
+    # with a fresh RNG stream (the reference's only recovery is manual
+    # crash-restart from pickle, SURVEY §5)
+    divergence_recovery: bool = True
 
     def resolved_save_dir(self) -> str:
         if self.save_dir is not None:
@@ -208,7 +212,11 @@ class VMCTrainer:
             if self.mesh is not None:
                 n_dev = self.mesh.devices.size
                 keys = jax.random.split(self.rng, n_dev)
+            good_state = None
             for w in range(n_windows):
+                if c.divergence_recovery and (w % 10 == 0):
+                    good_state = (jax.device_get(self.params),
+                                  jax.device_get(self.opt_state))
                 if self.mesh is not None:
                     (self.params, self.opt_state, keys, baseline,
                      losses) = self.sharded_window_jit(
@@ -217,6 +225,20 @@ class VMCTrainer:
                     (self.params, self.opt_state, self.rng, baseline,
                      losses) = self.window_jit(self.params, self.opt_state,
                                                self.rng, baseline)
+                if c.divergence_recovery and not bool(
+                        jnp.isfinite(losses).all()):
+                    # restore last good snapshot, fresh stream, reset baseline
+                    if verbose:
+                        print(f"window {w}: non-finite losses — restoring "
+                              "last good state", flush=True)
+                    if good_state is not None:
+                        self.params = jax.device_put(good_state[0])
+                        self.opt_state = jax.device_put(good_state[1])
+                    self.rng = jax.random.fold_in(self.rng, w)
+                    if self.mesh is not None:
+                        keys = jax.random.split(self.rng, n_dev)
+                    baseline = jnp.zeros(())
+                    continue
                 self.losses.extend(np.asarray(losses).tolist())
                 self.epoch = start + (w + 1) * c.window
                 if self.epoch % c.log_every < c.window:
