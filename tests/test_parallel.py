@@ -163,3 +163,25 @@ def test_sharded_train_window(setup):
     assert np.isfinite(np.asarray(losses)).all()
     assert np.isfinite(np.asarray(losses2)).all()
     assert np.isfinite(float(baseline))
+
+
+def test_host_chip_mesh_two_level_reduction():
+    """2-D host x chip mesh (1 x 8 in this simulated environment): psum
+    over 'chips' then 'hosts' equals the global sum."""
+    from jax.sharding import PartitionSpec as P
+    from waveflow_tpu.parallel import make_host_chip_mesh
+
+    mesh = make_host_chip_mesh()
+    assert mesh.shape['hosts'] * mesh.shape['chips'] == 8
+
+    def local(x):
+        s = jax.lax.psum(x.sum(), 'chips')
+        return jax.lax.psum(s, 'hosts')[None]
+
+    x = jnp.arange(16.0)
+    mapped = jax.shard_map(local, mesh=mesh,
+                           in_specs=P(('hosts', 'chips')),
+                           out_specs=P(('hosts', 'chips')),
+                           check_vma=False)
+    out = mapped(x)
+    np.testing.assert_allclose(np.asarray(out), x.sum())
