@@ -109,6 +109,20 @@ def test_monotone_inverse_roundtrip(i_setup):
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-5)
 
 
+def test_exact_inverse_matches_bisection_and_is_tighter(i_setup):
+    from waveflow_tpu.ops import bisection_inverse, exact_table_inverse
+    ev, w, x = i_setup
+    y = ev(w, x)
+    x_exact = exact_table_inverse(ev, w, y)
+    x_bisect = bisection_inverse(ev, w, y)
+    np.testing.assert_allclose(np.asarray(x_exact), np.asarray(x_bisect),
+                               atol=5e-5)
+    # the exact path inverts the table interpolant to float rounding:
+    # forward(x_exact) must reproduce y much tighter than the tol contract
+    y_rec = ev(w, x_exact)
+    np.testing.assert_allclose(np.asarray(y_rec), np.asarray(y), atol=2e-6)
+
+
 def _bin_probs(dens_fine: np.ndarray, n_bins: int) -> np.ndarray:
     """Exact bin probabilities of a density sampled on a fine grid whose
     point count is n_bins * sub + 1 (trapezoid within each bin)."""

@@ -1,12 +1,22 @@
-"""Batched monotone spline inversion (fixed-iteration, jit/TPU friendly).
+"""Batched monotone spline inversion (fixed-shape, jit/TPU friendly).
 
 Replaces the reference's per-sample `lax.while_loop` bisection
-(helpers.py:150-166 driving isplines_jax.py:153-156): a *fixed* number of
-bisection steps — batch-uniform trip count, so the whole batch stays one
-fused XLA loop with no data-dependent shapes — followed by optional Newton
-polish using the analytic derivative table.  n_bisect=30 reaches ~1e-9
-bracket width, far past the reference's reverse_fun_tol=1e-6 contract
-(vqmc.py:130, made.py:57).
+(helpers.py:150-166 driving isplines_jax.py:153-156).  Two variants:
+
+* ``method='exact'`` (default): the runtime spline is, by construction, the
+  *linearly interpolated table* (ops/spline_eval.py), i.e. piecewise linear
+  in x over the mesh.  Its inverse is therefore closed-form: evaluate the
+  spline at every mesh node with one (batch, n_bases) @ (n_bases, n_mesh)
+  matmul (MXU), locate the bracketing cell with a batched binary search,
+  and solve the in-cell linear equation.  Exact to float rounding — tighter
+  than any tolerance contract — with sequential depth ~log2(n_mesh) instead
+  of 30+ dependent evaluator calls.
+
+* ``method='bisect'``: fixed-iteration bisection + Newton polish against
+  the evaluator — batch-uniform trip count (no data-dependent shapes).
+  n_bisect=30 reaches ~1e-9 bracket width, far past the reference's
+  reverse_fun_tol=1e-6 contract (vqmc.py:130, made.py:57).  Kept as an
+  evaluator-only fallback and as a cross-check oracle for the exact path.
 """
 
 from __future__ import annotations
@@ -17,16 +27,34 @@ import jax.numpy as jnp
 from waveflow_tpu.ops.spline_eval import SplineEvaluator
 
 
-def batched_monotone_inverse(evaluator: SplineEvaluator,
-                             coeffs: jnp.ndarray,
-                             y: jnp.ndarray,
-                             n_bisect: int = 30,
-                             n_newton: int = 2) -> jnp.ndarray:
-    """Solve f(x) = y for x in [0,1], f monotone increasing per sample.
+def exact_table_inverse(evaluator: SplineEvaluator,
+                        coeffs: jnp.ndarray,
+                        y: jnp.ndarray) -> jnp.ndarray:
+    """Exact inverse of the monotone table-interpolated spline.
 
-    coeffs: (..., n_bases) spline weights per sample; y: (...,) targets.
-    Returns x: (...,).
+    coeffs: (..., n_bases) per-sample weights; y: (...,) targets.
+    Returns x in [0,1] with evaluator(coeffs, x) == y up to float rounding.
     """
+    g = evaluator.density_on_mesh(coeffs)                  # (..., P) nondecr.
+    P = g.shape[-1]
+    # branchless cell location: one fused compare+reduce over the row block
+    # instead of a per-row binary-search while loop (see ops/sampling.py)
+    j = jnp.sum(g <= y[..., None], axis=-1)
+    j = jnp.clip(j - 1, 0, P - 2)
+    g_l = jnp.take_along_axis(g, j[..., None], axis=-1)[..., 0]
+    g_r = jnp.take_along_axis(g, (j + 1)[..., None], axis=-1)[..., 0]
+    slope = g_r - g_l
+    s = jnp.clip((y - g_l) / jnp.where(jnp.abs(slope) < 1e-20, 1.0, slope),
+                 0.0, 1.0)
+    return (j + s) / (P - 1)
+
+
+def bisection_inverse(evaluator: SplineEvaluator,
+                      coeffs: jnp.ndarray,
+                      y: jnp.ndarray,
+                      n_bisect: int = 30,
+                      n_newton: int = 2) -> jnp.ndarray:
+    """Fixed-iteration bisection + Newton polish (evaluator-only fallback)."""
 
     def bisect_body(_, state):
         lo, hi = state
@@ -46,3 +74,20 @@ def batched_monotone_inverse(evaluator: SplineEvaluator,
         step = (fx - y) / jnp.maximum(dfx, 1e-12)
         x = jnp.clip(x - step, lo, hi)
     return x
+
+
+def batched_monotone_inverse(evaluator: SplineEvaluator,
+                             coeffs: jnp.ndarray,
+                             y: jnp.ndarray,
+                             n_bisect: int = 30,
+                             n_newton: int = 2,
+                             method: str = 'exact') -> jnp.ndarray:
+    """Solve f(x) = y for x in [0,1], f monotone increasing per sample.
+
+    coeffs: (..., n_bases) spline weights per sample; y: (...,) targets.
+    Returns x: (...,).  See module docstring for the two methods.
+    """
+    if method == 'exact':
+        return exact_table_inverse(evaluator, coeffs, y)
+    return bisection_inverse(evaluator, coeffs, y,
+                             n_bisect=n_bisect, n_newton=n_newton)

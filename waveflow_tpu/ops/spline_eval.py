@@ -109,8 +109,12 @@ class SplineEvaluator:
         """Evaluate sum_i c_i T_i at *all* mesh points: (..., n_mesh).
 
         A single (batch, n_bases) @ (n_bases, n_mesh) matmul (MXU) — used by
-        the inverse-CDF samplers (ops/sampling.py)."""
-        return coeffs @ self.tables[0].T
+        the inverse-CDF samplers (ops/sampling.py) and the exact table
+        inverse (ops/inverse.py).  Precision pinned to HIGHEST: sampling and
+        inversion correctness must not depend on the global matmul-precision
+        flag (default f32 matmuls take bf16 MXU passes, ~8e-3 rel error)."""
+        return jnp.matmul(coeffs, self.tables[0].T,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 def make_evaluator(tables: SplineTables, use_ob: bool = False) -> SplineEvaluator:
