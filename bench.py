@@ -18,7 +18,7 @@ import numpy as np
 import optax
 
 
-def build(batch_size=256, laplacian_mode='hvp', estimator='clipped_score',
+def build(batch_size=256, laplacian_mode='fwd', estimator='clipped_score',
           window=100):
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")

@@ -20,14 +20,17 @@ def test_laplacian_matches_analytic_gaussian():
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
-def test_laplacian_hvp_matches_dense_hessian():
+def test_laplacian_modes_agree():
+    from waveflow_tpu.physics import laplacian_hvp
     fn = lambda params, x: jnp.sin(x[:, 0] * 2) * jnp.cos(x[:, 1]) + \
         (params * x ** 3).sum(-1)
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
     p = jnp.asarray([0.3, -0.7])
-    a = np.asarray(laplacian(fn)(p, x))
+    a = np.asarray(laplacian(fn)(p, x))          # forward-over-forward
     b = np.asarray(laplacian_dense_hessian(fn)(p, x))
+    c = np.asarray(laplacian_hvp(fn)(p, x))      # forward-over-reverse
     np.testing.assert_allclose(a, b, rtol=1e-5)
+    np.testing.assert_allclose(c, b, rtol=1e-5)
 
 
 def test_particle_in_box_energy():

@@ -18,6 +18,7 @@ Followed by sum-normalization (M/I) or L2-normalization (B).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,20 +39,20 @@ def make_boundary_projector(evaluator: SplineEvaluator,
       ispline_right_convention: apply the I-spline n=0 right-edge special
         case (isplines_jax.py:174-179).
     """
-    left = np.asarray(evaluator.left)    # (nd, n_bases)
-    right = np.asarray(evaluator.right)
+    left = np.asarray(evaluator.left, dtype=np.float64)    # (nd, n_bases)
+    right = np.asarray(evaluator.right, dtype=np.float64)
     n_bases = left.shape[1]
 
     # Precompute the static pieces of each constraint step.
     left_steps = []
     for n, v in constraints_left.items():
         # coefficients hitting w[j] for j < n, and the pivot value
-        coeff = np.zeros(n_bases, dtype=np.float32)
+        coeff = np.zeros(n_bases, dtype=np.float64)
         coeff[:n] = left[n, :n]
         pivot = float(left[n, n])
         if pivot == 0.0:
             raise ValueError(f"left constraint order {n}: pivot basis value is 0")
-        left_steps.append((int(n), float(v), jnp.asarray(coeff), pivot))
+        left_steps.append((int(n), float(v), coeff, pivot))
 
     right_steps = []
     for n, v in constraints_right.items():
@@ -62,27 +63,45 @@ def make_boundary_projector(evaluator: SplineEvaluator,
                     "(isplines_jax.py:178)")
             right_steps.append(('zero_last', None, None, None))
             continue
-        coeff = np.zeros(n_bases, dtype=np.float32)
+        coeff = np.zeros(n_bases, dtype=np.float64)
         for j in range(n):
             coeff[n_bases - 1 - j] = right[n, n_bases - 1 - j]
         pivot = float(right[n, n_bases - 1 - n])
         if pivot == 0.0:
             raise ValueError(f"right constraint order {n}: pivot basis value is 0")
-        right_steps.append((int(n), float(v), jnp.asarray(coeff), pivot))
+        right_steps.append((int(n), float(v), coeff, pivot))
+
+    def _apply_steps(w: np.ndarray) -> np.ndarray:
+        """The constraint chain on one weight row (NumPy f64, init-time)."""
+        w = w.copy()
+        for n, v, coeff, pivot in left_steps:
+            w[n] = (v - np.dot(w, coeff)) / pivot
+        for step in right_steps:
+            if step[0] == 'zero_last':
+                w[-1] = 0.0
+                continue
+            n, v, coeff, pivot = step
+            w[n_bases - 1 - n] = (v - np.dot(w, coeff)) / pivot
+        return w
+
+    # Each step is affine in w and the chain composes to  w -> w @ A.T + b.
+    # Folding it into ONE precomputed matmul at init (probed in float64 on
+    # the identity basis) collapses the per-constraint set/dot op chain:
+    # the projection sits inside every conditioner call, so its ops are
+    # replicated through forward, backward, AND the Laplacian's two HVP
+    # instantiations of the flow — on v5e the fused VMC window is op-count
+    # bound, not FLOP bound, and this is the densest op cluster.
+    b_vec = _apply_steps(np.zeros(n_bases))
+    A_mat = np.stack([_apply_steps(e) for e in np.eye(n_bases)]) - b_vec
+    A_j = jnp.asarray(A_mat.astype(np.float32))             # (n_bases, n_bases)
+    b_j = jnp.asarray(b_vec.astype(np.float32))
+    affine_b = bool(np.any(b_vec != 0.0))
 
     def project(weights: jnp.ndarray) -> jnp.ndarray:
         """weights: (..., n_bases) -> constrained + renormalized weights."""
-        w = weights
-        for n, v, coeff, pivot in left_steps:
-            s = v - jnp.sum(w * coeff, axis=-1)
-            w = w.at[..., n].set(s / pivot)
-        for step in right_steps:
-            if step[0] == 'zero_last':
-                w = w.at[..., -1].set(0.0)
-                continue
-            n, v, coeff, pivot = step
-            s = v - jnp.sum(w * coeff, axis=-1)
-            w = w.at[..., n_bases - 1 - n].set(s / pivot)
+        w = jnp.matmul(weights, A_j, precision=jax.lax.Precision.HIGHEST)
+        if affine_b:
+            w = w + b_j
         if normalization == 'sum':
             return w / jnp.sum(w, axis=-1, keepdims=True)
         elif normalization == 'l2':

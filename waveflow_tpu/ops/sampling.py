@@ -119,13 +119,14 @@ def sample_squared_amplitude(evaluator: SplineEvaluator,
     lo = jnp.zeros_like(q)
     hi = jnp.ones_like(q)
 
-    def body(_, state):
-        lo, hi = state
+    # unrolled (not lax.fori_loop): the body is purely elementwise on (B,)
+    # vectors, so unrolling lets XLA fuse the whole bracket refinement into
+    # one kernel instead of n_bisect sequential loop-iteration launches
+    for _ in range(n_bisect):
         mid = 0.5 * (lo + hi)
         gt = mass(mid) > q
-        return jnp.where(gt, lo, mid), jnp.where(gt, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+        lo = jnp.where(gt, lo, mid)
+        hi = jnp.where(gt, mid, hi)
     s = 0.5 * (lo + hi)
     for _ in range(n_newton):
         s = jnp.clip(s - (mass(s) - q) / jnp.maximum(dmass(s), 1e-14), lo, hi)

@@ -40,6 +40,23 @@ def _lerp_gather(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return y_l + (y_r - y_l) * frac[..., None]
 
 
+def _lerp_cell_gather(cell_table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate with ONE gather from a precomputed (value, delta) table.
+
+    cell_table: (n_cells, 2*n_bases) rows of [T_j | T_{j+1}-T_j]; the single
+    gather halves the dominant op class of the jitted VMC step (each
+    evaluator call — and its jvp/transpose instantiations in the Laplacian —
+    previously issued two row gathers).  x: (...,) -> (..., n_bases).
+    """
+    n_cells = cell_table.shape[0]
+    n_bases = cell_table.shape[1] // 2
+    pos = x * n_cells
+    idx = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_cells - 1)
+    frac = pos - idx
+    row = jnp.take(cell_table, idx, axis=0)     # (..., 2*n_bases)
+    return row[..., :n_bases] + row[..., n_bases:] * frac[..., None]
+
+
 class SplineEvaluator:
     """Batched evaluator for one spline table family.
 
@@ -57,6 +74,11 @@ class SplineEvaluator:
         self.n_bases = tables.shape[2]
         self.left = jnp.asarray(tables[:, 0, :])    # (nd, n_bases)
         self.right = jnp.asarray(tables[:, -1, :])
+        # (nd, n_cells, 2*n_bases) rows of [value | delta] for the
+        # single-gather interpolation path
+        cells = np.concatenate(
+            [tables[:, :-1, :], tables[:, 1:, :] - tables[:, :-1, :]], axis=-1)
+        self.cell_tables = jnp.asarray(cells)
         self._fns = self._build_jvp_chain()
 
     def _build_jvp_chain(self):
@@ -67,13 +89,13 @@ class SplineEvaluator:
         table there; we document the truncation instead — order-3 tangents are
         never consumed by the Laplacian path).
         """
-        tables = self.tables
+        cell_tables = self.cell_tables
         n_deriv = self.n_derivatives
         fns: list = [None] * n_deriv
 
         def make(d):
             def raw_eval(coeffs, x):
-                basis = _lerp_gather(tables[d], x)
+                basis = _lerp_cell_gather(cell_tables[d], x)
                 return jnp.sum(basis * coeffs, axis=-1)
 
             f = jax.custom_jvp(raw_eval)

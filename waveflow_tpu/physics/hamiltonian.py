@@ -21,14 +21,41 @@ def laplacian(fn):
     """Per-sample Laplacian of a scalar field fn(params, x_batch)->(batch,).
 
     Returns lap(params, x) with x (batch, n) -> (batch,) = Σ_i ∂²fn/∂x_i².
+
+    Forward-over-forward: ∂²f/∂x_i² = jvp(jvp(f, e_i), e_i), vmapped over
+    the n coordinate directions and over walkers.  Pure forward mode — no
+    transpose pass, so the compiled graph has no scatter-adds and roughly
+    half the kernel count of jvp-of-grad (the fused VMC window is
+    launch-bound on v5e, so kernel count is the cost).  For the few-electron
+    systems here (n ≤ 2-4 coordinates) the O(n) forward passes are cheaper
+    than one reverse pass; `laplacian_hvp` keeps the O(1)-backward variant
+    for larger n.  Spline second derivatives chain through the cached
+    derivative tables via the custom-JVP chain (ops/spline_eval.py),
+    exactly as in the reference (isplines_jax.py:60-66).
     """
 
     def single(params, x):
         # x: (n,). scalar function of a single configuration
         f = lambda xx: fn(params, xx[None])[0]
 
+        def d2(e_i):
+            df = lambda xx: jax.jvp(f, (xx,), (e_i,))[1]
+            return jax.jvp(df, (x,), (e_i,))[1]
+
+        eye = jnp.eye(x.shape[0], dtype=x.dtype)
+        return jax.vmap(d2)(eye).sum()
+
+    return jax.vmap(single, in_axes=(None, 0))
+
+
+def laplacian_hvp(fn):
+    """Hessian-diagonal via forward-over-reverse HVPs (one backward pass
+    computes all n coordinate gradients; better for large n)."""
+
+    def single(params, x):
+        f = lambda xx: fn(params, xx[None])[0]
+
         def hvp_diag(e_i):
-            # d²f along direction e_i via jvp of grad
             _, hv = jax.jvp(lambda xx: jax.grad(f)(xx), (x,), (e_i,))
             return jnp.vdot(e_i, hv)
 
@@ -83,14 +110,19 @@ def get_potential(protons):
 
 def construct_hamiltonian_function(fn, protons=jnp.array([[0.0, 0.0]]),
                                    n_space_dimensions=2, eps=0.0,
-                                   laplacian_mode='hvp'):
+                                   laplacian_mode='fwd'):
     """Build h(params, x) = -½∇²ψ + Vψ : (batch, n) -> (batch, 1)
-    (physics.py:79-93)."""
+    (physics.py:79-93).  laplacian_mode: 'fwd' (forward-over-forward,
+    default — fewest kernels for few-electron systems), 'hvp'
+    (forward-over-reverse, O(1) backward passes for large n), or 'dense'
+    (reference-style full-Hessian trace, physics.py:50-52)."""
     v_fn = get_potential(protons)
     if eps > 0.0:
         lap_fn = laplacian_numerical(fn, eps=eps)
     elif laplacian_mode == 'dense':
         lap_fn = laplacian_dense_hessian(fn)
+    elif laplacian_mode == 'hvp':
+        lap_fn = laplacian_hvp(fn)
     else:
         lap_fn = laplacian(fn)
 
