@@ -19,8 +19,9 @@ def main():
     p.add_argument('--dataset', default='circles',
                    choices=['gaussian_mixtures', 'halfmoon', 'circles',
                             'double_circles'])
-    p.add_argument('--model', default='MFlow', choices=['Flow', 'MFlow'])
-    p.add_argument('--n-samples', type=int, default=1000)
+    p.add_argument('--model', default='MFlow', choices=['Flow', 'IFlow', 'MFlow'])
+    p.add_argument('--n-samples', type=int, default=20_000,
+                   help='training-set size (reference example uses 20k)')
     p.add_argument('--num-epochs', type=int, default=30_000)
     p.add_argument('--learning-rate', type=float, default=1e-4)
     p.add_argument('--spline-reg', type=float, default=0.02)
@@ -28,6 +29,9 @@ def main():
     p.add_argument('--n-knots', type=int, default=23)
     p.add_argument('--n-flow-layers', type=int, default=3)
     p.add_argument('--log-every', type=int, default=2000)
+    p.add_argument('--n-model-sample', type=int, default=20_000,
+                   help='samples drawn for the KDE metrics '
+                        '(reference example uses 20k)')
     p.add_argument('--save-dir', default=None)
     args = p.parse_args()
 
@@ -43,6 +47,7 @@ def main():
                         n_flow_layers=args.n_flow_layers,
                         spline_degree=args.spline_degree,
                         n_knots=args.n_knots, log_every=args.log_every,
+                        n_model_sample=args.n_model_sample,
                         save_dir=save_dir)
 
 

@@ -144,3 +144,29 @@ def test_gmm_prior_matches_sklearn():
     got = np.asarray(log_pdf(params, x))
     expect = gmm.score_samples(np.asarray(x))
     np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,coord", [(1, 'first'), (1, 'mean'), (3, 'mean'),
+                                     (4, 'first')])
+def test_waveflow_particle_count_generality(n, coord):
+    """The model builds and is self-consistent for any particle count.
+
+    The reference supports only n=2 in practice: its MADE mask construction
+    divides by (input_dim - 1) (model_factory.py:14) so n=1 crashes, and its
+    mean-coordinate BoxTransform reverse is hard-coded for 2 dims
+    (made.py:188).  Here n=1 degenerates the conditioner to a learned
+    constant and the mean-reverse is closed-form for any n."""
+    init = get_waveflow_model(n, base_spline_degree=4, i_spline_degree=4,
+                              n_prior_internal_knots=8, n_i_internal_knots=8,
+                              i_spline_reg=0.1, n_flow_layers=2, box_size=5.0,
+                              n_spline_base_mesh_points=300,
+                              xu_coord_type=coord)
+    params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), n)
+    batch = sample(jax.random.PRNGKey(1), params, 64)
+    assert batch.shape == (64, n)
+    pv = psi(params, batch)
+    lp = log_pdf(params, batch)
+    assert bool(jnp.isfinite(pv).all()) and bool(jnp.isfinite(lp).all())
+    # |psi|^2 must equal the flow density wherever psi != 0
+    err = np.abs(2 * np.log(np.abs(np.asarray(pv)) + 1e-10) - np.asarray(lp))
+    assert float(err.max()) < 1e-4

@@ -62,6 +62,28 @@ def test_soft_coulomb_potential_values():
     np.testing.assert_allclose(got[1], pe + ee, rtol=1e-6)
 
 
+def test_soft_coulomb_potential_2d():
+    """n_space_dimensions=2: softened Euclidean-norm distances.  The
+    reference's potential is 1D-only (TODO at physics.py:62), so its 2D
+    catalogue entries were unusable; here they are supported."""
+    protons = jnp.asarray([[0.0, 0.0]])           # H in 2D
+    v = get_potential(protons, n_space_dimensions=2)
+    # one electron at (3, 4): V = -1/sqrt(1 + 25)
+    x1 = jnp.asarray([[3.0, 4.0]])
+    np.testing.assert_allclose(np.asarray(v(x1))[0],
+                               -1 / np.sqrt(26.0), rtol=1e-6)
+    # two electrons at (1,0) and (0,1): pe = -2/sqrt(2), ee = 1/sqrt(3)
+    x2 = jnp.asarray([[1.0, 0.0, 0.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(v(x2))[0],
+                               -2 / np.sqrt(2.0) + 1 / np.sqrt(3.0),
+                               rtol=1e-6)
+    # 1D path unchanged (matches reference semantics)
+    v1 = get_potential(jnp.asarray([[0.0], [0.0]]), n_space_dimensions=1)
+    x = jnp.asarray([[1.0, -1.0]])
+    np.testing.assert_allclose(np.asarray(v1(x))[0],
+                               -4 / np.sqrt(2) + 1 / np.sqrt(5), rtol=1e-6)
+
+
 def test_hamiltonian_shapes():
     fn = lambda params, x: jnp.exp(-0.5 * (x ** 2).sum(-1))
     h = construct_hamiltonian_function(fn, protons=jnp.asarray([[0.0]]),

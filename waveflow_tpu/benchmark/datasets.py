@@ -21,14 +21,16 @@ def get_dataset(name: str = 'gaussian_mixtures', n_samples: int = 1000,
                 margin: float = 0.025, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     if name == 'gaussian_mixtures':
-        scale = 4.0
-        centers = np.array([[1, 0], [-1, 0], [0, 1], [0, -1],
-                            [1. / np.sqrt(2), 1. / np.sqrt(2)],
-                            [1. / np.sqrt(2), -1. / np.sqrt(2)],
-                            [-1. / np.sqrt(2), 1. / np.sqrt(2)],
-                            [-1. / np.sqrt(2), -1. / np.sqrt(2)]]) * scale
-        idx = rng.integers(0, len(centers), n_samples)
-        X = rng.normal(size=(n_samples, 2)) * 0.5 + centers[idx]
+        # reference construction (benchmark_tests.py:18-30): blobs -> fit a
+        # 3-component GMM -> draw the training set from the fitted GMM
+        from sklearn import mixture
+        from sklearn.datasets import make_blobs
+        blobs, _ = make_blobs(center_box=(-1, 1), cluster_std=0.1,
+                              random_state=3)
+        gmm = mixture.GaussianMixture(3, random_state=seed)
+        gmm.fit(blobs)
+        X, _ = gmm.sample(n_samples)
+        X = np.asarray(X)[rng.permutation(n_samples)]
     elif name == 'halfmoon':
         from sklearn.datasets import make_moons
         X, _ = make_moons(n_samples=n_samples, noise=0.05,

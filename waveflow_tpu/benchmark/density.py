@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from waveflow_tpu.bijections import IMADE, Reverse, Serial, masked_conditioner
+from waveflow_tpu.bijections import (
+    IMADE, MADE, Reverse, Serial, masked_conditioner, simple_masked_transform,
+)
 from waveflow_tpu.models import Flow, get_model
 from waveflow_tpu.models.priors import Normal
 from waveflow_tpu.benchmark.metrics import kde_metrics, reconstruction_distance
@@ -36,7 +38,15 @@ def get_benchmark_model(model_name: str = 'MFlow', spline_reg: float = 0.02,
                          i_constraint_dict_left={0: 0.0},
                          i_constraint_dict_right={0: 1.0},
                          n_spline_base_mesh_points=n_mesh_points)
-    if model_name in ('Flow', 'IFlow'):
+    if model_name == 'Flow':
+        # affine MADE + Normal(-0.5) prior (benchmark_tests.py:54-58)
+        layers = []
+        for _ in range(n_flow_layers):
+            layers.append(MADE(simple_masked_transform()))
+            layers.append(Reverse())
+        return Flow(Serial(*layers), Normal(-0.5))
+    if model_name == 'IFlow':
+        # monotone I-spline MADE + Uniform prior (benchmark_tests.py:60-65)
         layers = []
         for _ in range(n_flow_layers):
             layers.append(IMADE(masked_conditioner(),

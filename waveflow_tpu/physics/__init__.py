@@ -1,7 +1,8 @@
 from waveflow_tpu.physics.systems import system_catalogue
 from waveflow_tpu.physics.hamiltonian import (
     construct_hamiltonian_function, get_potential, laplacian,
-    laplacian_dense_hessian, laplacian_hvp, laplacian_numerical,
+    laplacian_and_value, laplacian_dense_hessian, laplacian_hvp,
+    laplacian_numerical,
 )
 from waveflow_tpu.physics.fermion import (
     abs2rel, antisymmetrize, inversion_count, parity, rel2abs,

@@ -34,16 +34,26 @@ def laplacian(fn):
     exactly as in the reference (isplines_jax.py:60-66).
     """
 
+    lap_and_val = laplacian_and_value(fn)
+    return lambda params, x: lap_and_val(params, x)[0]
+
+
+def laplacian_and_value(fn):
+    """(lap, value) in one pass: the Laplacian's inner jvp already computes
+    the primal, so the Hamiltonian's potential term V·ψ can reuse it
+    instead of a fourth ψ forward (XLA DCEs the value when unused)."""
+
     def single(params, x):
-        # x: (n,). scalar function of a single configuration
         f = lambda xx: fn(params, xx[None])[0]
 
         def d2(e_i):
-            df = lambda xx: jax.jvp(f, (xx,), (e_i,))[1]
-            return jax.jvp(df, (x,), (e_i,))[1]
+            df = lambda xx: jax.jvp(f, (xx,), (e_i,))
+            (val, _), (_, dd) = jax.jvp(df, (x,), (e_i,))
+            return val, dd
 
         eye = jnp.eye(x.shape[0], dtype=x.dtype)
-        return jax.vmap(d2)(eye).sum()
+        vals, dds = jax.vmap(d2)(eye)
+        return dds.sum(), vals[0]
 
     return jax.vmap(single, in_axes=(None, 0))
 
@@ -91,17 +101,29 @@ def laplacian_numerical(fn, eps=0.1, n_dims=2):
     return _lap
 
 
-def get_potential(protons):
+def get_potential(protons, n_space_dimensions=1):
     """Soft-Coulomb proton-electron attraction + electron-electron repulsion
-    (physics.py:60-76).  x: (batch, n_el) 1D electron coordinates."""
+    (physics.py:60-76): V = -Σ 1/√(1+|r_pe|²) + Σ 1/√(1+|r_ee|²).
+
+    x: (batch, n_el * n_space_dimensions) flattened electron coordinates,
+    protons: (n_protons, n_space_dimensions).  For n_space_dimensions > 1
+    the softened distances use the Euclidean norm — the reference only
+    handles 1D despite its 2D catalogue entries (physics.py:62 carries the
+    TODO "Only works for 1D"); this generalization makes those entries
+    usable."""
+    protons = jnp.asarray(protons)
 
     def potential(x):
-        pe = -(1.0 / jnp.sqrt(1.0 + (protons[None] - x[:, None]) ** 2)
-               ).sum(-1).sum(-1)
-        diff = x[:, :, None] - x[:, None, :]           # (B, n, n)
-        n = x.shape[-1]
+        b = x.shape[0]
+        xe = x.reshape(b, -1, n_space_dimensions)       # (B, n_el, D)
+        pr = protons.reshape(1, 1, -1, n_space_dimensions)
+        pe_r2 = ((xe[:, :, None, :] - pr) ** 2).sum(-1)  # (B, n_el, n_p)
+        pe = -(1.0 / jnp.sqrt(1.0 + pe_r2)).sum((-1, -2))
+        diff = xe[:, :, None, :] - xe[:, None, :, :]     # (B, n, n, D)
+        ee_r2 = (diff ** 2).sum(-1)
+        n = xe.shape[1]
         iu = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)
-        ee = jnp.where(iu[None], 1.0 / jnp.sqrt(1.0 + diff ** 2), 0.0
+        ee = jnp.where(iu[None], 1.0 / jnp.sqrt(1.0 + ee_r2), 0.0
                        ).sum((-1, -2))
         return pe + ee
 
@@ -116,7 +138,7 @@ def construct_hamiltonian_function(fn, protons=jnp.array([[0.0, 0.0]]),
     default — fewest kernels for few-electron systems), 'hvp'
     (forward-over-reverse, O(1) backward passes for large n), or 'dense'
     (reference-style full-Hessian trace, physics.py:50-52)."""
-    v_fn = get_potential(protons)
+    v_fn = get_potential(protons, n_space_dimensions=n_space_dimensions)
     if eps > 0.0:
         lap_fn = laplacian_numerical(fn, eps=eps)
     elif laplacian_mode == 'dense':
@@ -124,7 +146,13 @@ def construct_hamiltonian_function(fn, protons=jnp.array([[0.0, 0.0]]),
     elif laplacian_mode == 'hvp':
         lap_fn = laplacian_hvp(fn)
     else:
-        lap_fn = laplacian(fn)
+        lap_and_val = laplacian_and_value(fn)
+
+        def h_fused(params, x):
+            lap, psi_val = lap_and_val(params, x)
+            return (-0.5 * lap + v_fn(x) * psi_val)[:, None]
+
+        return h_fused
 
     def h(params, x):
         lap = lap_fn(params, x)
