@@ -14,7 +14,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from waveflow_tpu.physics import exact_ground_state_1d, system_catalogue
+from waveflow_tpu.physics import (exact_free_fermion_energy,
+                                  exact_ground_state_1d, system_catalogue)
 from waveflow_tpu.utils import clipped_energy_estimate
 
 
@@ -25,13 +26,23 @@ def main():
     p.add_argument('--box-length', type=float, default=10.0)
     p.add_argument('--clip', type=float, default=100.0)
     p.add_argument('--tail-fraction', type=float, default=0.2)
+    p.add_argument('--no-interactions', action='store_true',
+                   help='compare against the analytic free-fermion energy '
+                        '(protonless box systems, any n)')
     args = p.parse_args()
 
     trace = np.load(Path(args.save_dir) / 'loss.npy')
     mean, stderr = clipped_energy_estimate(trace, clip=args.clip,
                                            tail_fraction=args.tail_fraction)
     protons, n_el = system_catalogue[1][args.system]
-    exact = exact_ground_state_1d(np.asarray(protons), n_el, args.box_length)
+    if args.no_interactions:
+        if np.asarray(protons).size:
+            raise SystemExit('--no-interactions oracle requires a protonless '
+                             'box system (box2/box3)')
+        exact = exact_free_fermion_energy(n_el, args.box_length)
+    else:
+        exact = exact_ground_state_1d(np.asarray(protons), n_el,
+                                      args.box_length)
 
     n_sigma = abs(mean - exact) / stderr if stderr > 0 else float('inf')
     print(f"epochs:            {len(trace)}")

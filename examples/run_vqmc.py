@@ -29,6 +29,14 @@ def main():
     p.add_argument('--log-every', type=int, default=2000)
     p.add_argument('--save-dir', default=None)
     p.add_argument('--restart', action='store_true')
+    p.add_argument('--seed', type=int, default=2)
+    p.add_argument('--estimator', default='clipped_score',
+                   choices=['clipped_score', 'reference'])
+    p.add_argument('--no-interactions', action='store_true',
+                   help='drop electron-electron repulsion (free-fermion '
+                        'oracle systems, e.g. --system box3)')
+    p.add_argument('--data-parallel', action='store_true',
+                   help='shard the walker batch over all visible devices')
     args = p.parse_args()
 
     cfg = VMCConfig(system_name=args.system, box_length=args.box_length,
@@ -37,7 +45,10 @@ def main():
                     spline_degree=args.spline_degree,
                     num_knots=args.num_knots,
                     n_flow_layers=args.n_flow_layers,
-                    log_every=args.log_every, save_dir=args.save_dir)
+                    log_every=args.log_every, save_dir=args.save_dir,
+                    seed=args.seed, estimator=args.estimator,
+                    interactions=not args.no_interactions,
+                    data_parallel=args.data_parallel)
     trainer = VMCTrainer(cfg)
     trainer.train(restart=args.restart)
 

@@ -148,6 +148,42 @@ def test_exact_2p_free_fermions_in_box():
     assert E < free + 1.0 / np.sqrt(1.0)  # repulsion bounded by W(0)=1
 
 
+def test_free_fermion_potential_and_oracle():
+    """interactions=False + no protons = free fermions: V ≡ 0 and the exact
+    ground energy is the analytic level sum (new capability: the n>2 oracle
+    the reference lacks — its ED covers 1-2 electrons only)."""
+    from waveflow_tpu.physics import exact_free_fermion_energy
+    v = get_potential(np.zeros((0, 1)), n_space_dimensions=1,
+                      interactions=False)
+    x = jax.random.normal(jax.random.PRNGKey(5), (7, 3))
+    np.testing.assert_allclose(np.asarray(v(x)), 0.0, atol=0)
+    # with interactions the same protonless system keeps ee repulsion
+    v_int = get_potential(np.zeros((0, 1)), n_space_dimensions=1,
+                          interactions=True)
+    assert (np.asarray(v_int(x)) > 0).all()
+    L = 5.0
+    E3 = exact_free_fermion_energy(3, L)
+    np.testing.assert_allclose(E3, (1 + 4 + 9) * np.pi ** 2 / (8 * L ** 2),
+                               rtol=1e-12)
+    # consistency with the grid ED for one free particle
+    from waveflow_tpu.physics import exact_ground_state_1p
+    E1_grid, _, _ = exact_ground_state_1p(np.zeros((0, 1)), L, 2000)
+    np.testing.assert_allclose(exact_free_fermion_energy(1, L), E1_grid,
+                               rtol=1e-5)
+
+
+def test_hamiltonian_interactions_flag_pure_kinetic():
+    """With V=0 the Hamiltonian is exactly -½∇²ψ."""
+    fn = lambda params, x: jnp.exp(-0.5 * (x ** 2).sum(-1))
+    h = construct_hamiltonian_function(fn, protons=np.zeros((0, 1)),
+                                       n_space_dimensions=1,
+                                       interactions=False)
+    x = jax.random.normal(jax.random.PRNGKey(6), (9, 3))
+    got = np.asarray(h(None, x))[:, 0]
+    expect = np.asarray(-0.5 * ((x ** 2).sum(-1) - 3) * fn(None, x))
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
 def test_exact_he_1d_matches_reference_scale():
     """He-1d L=10: the physical oracle the VMC must approach.  The
     reference's median trace E_L is ~-1.81 (BASELINE.md) — our exact

@@ -9,5 +9,6 @@ from waveflow_tpu.physics.fermion import (
     sort_and_parity,
 )
 from waveflow_tpu.physics.exact import (
-    exact_ground_state_1d, exact_ground_state_1p, exact_ground_state_2p,
+    exact_free_fermion_energy, exact_ground_state_1d, exact_ground_state_1p,
+    exact_ground_state_2p,
 )

@@ -98,6 +98,16 @@ def exact_ground_state_2p(protons, box_length: float, n_grid: int = 120):
     return float(evals[0]), psi, x
 
 
+def exact_free_fermion_energy(n_electrons: int, box_length: float) -> float:
+    """Exact ground energy of n non-interacting spinless fermions in the box
+    [-L, L] with Dirichlet walls: the n lowest particle-in-a-box levels,
+    E_k = k²π²/(2·(2L)²), filled once each (Pauli).  Analytic — the oracle
+    for n>2 antisymmetric wavefunctions where grid ED is intractable."""
+    width = 2.0 * box_length
+    return float(sum(k * k for k in range(1, n_electrons + 1))
+                 * np.pi ** 2 / (2.0 * width ** 2))
+
+
 def exact_ground_state_1d(protons, n_electrons: int, box_length: float,
                           n_grid: int | None = None):
     """Dispatch on electron count; returns the ground-state energy."""

@@ -101,7 +101,7 @@ def laplacian_numerical(fn, eps=0.1, n_dims=2):
     return _lap
 
 
-def get_potential(protons, n_space_dimensions=1):
+def get_potential(protons, n_space_dimensions=1, interactions=True):
     """Soft-Coulomb proton-electron attraction + electron-electron repulsion
     (physics.py:60-76): V = -Σ 1/√(1+|r_pe|²) + Σ 1/√(1+|r_ee|²).
 
@@ -110,35 +110,47 @@ def get_potential(protons, n_space_dimensions=1):
     the softened distances use the Euclidean norm — the reference only
     handles 1D despite its 2D catalogue entries (physics.py:62 carries the
     TODO "Only works for 1D"); this generalization makes those entries
-    usable."""
+    usable.
+
+    ``interactions=False`` drops the electron-electron term: with an empty
+    proton list this gives free fermions in the box, whose exact ground
+    energy is analytic (physics/exact.py::exact_free_fermion_energy) — the
+    oracle used to validate antisymmetric n>2 wavefunctions, which have no
+    grid-ED reference."""
     protons = jnp.asarray(protons)
 
     def potential(x):
         b = x.shape[0]
         xe = x.reshape(b, -1, n_space_dimensions)       # (B, n_el, D)
-        pr = protons.reshape(1, 1, -1, n_space_dimensions)
-        pe_r2 = ((xe[:, :, None, :] - pr) ** 2).sum(-1)  # (B, n_el, n_p)
-        pe = -(1.0 / jnp.sqrt(1.0 + pe_r2)).sum((-1, -2))
-        diff = xe[:, :, None, :] - xe[:, None, :, :]     # (B, n, n, D)
-        ee_r2 = (diff ** 2).sum(-1)
+        v = jnp.zeros((b,), dtype=x.dtype)
+        if protons.size:
+            pr = protons.reshape(1, 1, -1, n_space_dimensions)
+            pe_r2 = ((xe[:, :, None, :] - pr) ** 2).sum(-1)  # (B, n_el, n_p)
+            v = v - (1.0 / jnp.sqrt(1.0 + pe_r2)).sum((-1, -2))
         n = xe.shape[1]
-        iu = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)
-        ee = jnp.where(iu[None], 1.0 / jnp.sqrt(1.0 + ee_r2), 0.0
-                       ).sum((-1, -2))
-        return pe + ee
+        if interactions and n > 1:
+            diff = xe[:, :, None, :] - xe[:, None, :, :]     # (B, n, n, D)
+            ee_r2 = (diff ** 2).sum(-1)
+            iu = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)
+            v = v + jnp.where(iu[None], 1.0 / jnp.sqrt(1.0 + ee_r2), 0.0
+                              ).sum((-1, -2))
+        return v
 
     return potential
 
 
 def construct_hamiltonian_function(fn, protons=jnp.array([[0.0, 0.0]]),
                                    n_space_dimensions=2, eps=0.0,
-                                   laplacian_mode='fwd'):
+                                   laplacian_mode='fwd', interactions=True):
     """Build h(params, x) = -½∇²ψ + Vψ : (batch, n) -> (batch, 1)
     (physics.py:79-93).  laplacian_mode: 'fwd' (forward-over-forward,
     default — fewest kernels for few-electron systems), 'hvp'
     (forward-over-reverse, O(1) backward passes for large n), or 'dense'
-    (reference-style full-Hessian trace, physics.py:50-52)."""
-    v_fn = get_potential(protons, n_space_dimensions=n_space_dimensions)
+    (reference-style full-Hessian trace, physics.py:50-52).
+    ``interactions=False`` drops electron-electron repulsion (free-fermion
+    oracle systems, see get_potential)."""
+    v_fn = get_potential(protons, n_space_dimensions=n_space_dimensions,
+                         interactions=interactions)
     if eps > 0.0:
         lap_fn = laplacian_numerical(fn, eps=eps)
     elif laplacian_mode == 'dense':

@@ -21,6 +21,13 @@ system_catalogue = {
         'He_off_center': (np.array([[2.5], [2.5]]), 2),
         'H2': (np.array([[-0.9], [0.9]]), 2),
         'H2_wide': (np.array([[-3.0], [3.0]]), 2),
+        # box fermions (no protons) — with interactions=False these are free
+        # fermions whose exact ground energy is analytic (physics/exact.py),
+        # the oracle for validating antisymmetric n>2 ansatze (new; the
+        # reference's BoxTransform reverse is n=2-only, made.py:188)
+        'box2': (np.array([]), 2),
+        'box3': (np.array([]), 3),
+        'Li': (np.array([[0.0], [0.0], [0.0]]), 3),
     },
     2: {
         'H': (np.array([[0.0, 0.0]]), 1),

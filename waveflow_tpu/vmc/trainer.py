@@ -64,6 +64,9 @@ class VMCConfig:
     # energy_clip optionally applies a fixed ±clip there)
     estimator: str = 'clipped_score'
     energy_clip: float | None = None
+    # electron-electron repulsion on/off; False + a protonless 'box*' system
+    # gives free fermions with an analytic exact energy (physics/exact.py)
+    interactions: bool = True
     # shard the walker batch over all visible devices (1-chip runs are
     # unaffected: a 1-device mesh is the identity sharding)
     data_parallel: bool = False
@@ -112,7 +115,8 @@ class VMCTrainer:
         self._sample = sample
         self.h_fn = construct_hamiltonian_function(
             psi, protons=self.protons,
-            n_space_dimensions=c.n_space_dimension, eps=0.0)
+            n_space_dimensions=c.n_space_dimension, eps=0.0,
+            interactions=c.interactions)
 
         if c.grad_clip is not None:
             self.optimizer = optax.chain(
