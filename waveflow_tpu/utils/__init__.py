@@ -5,4 +5,6 @@ from waveflow_tpu.utils.observables import (
     clipped_energy_estimate, moving_average, uniform_sliding_average,
     uniform_sliding_stdev,
 )
-from waveflow_tpu.utils.profiling import time_fn, trace
+from waveflow_tpu.utils.profiling import (
+    enable_persistent_compilation_cache, time_fn, trace,
+)

@@ -70,6 +70,9 @@ class VMCConfig:
     # shard the walker batch over all visible devices (1-chip runs are
     # unaffected: a 1-device mesh is the identity sharding)
     data_parallel: bool = False
+    # on-disk XLA executable cache: restarts / multi-seed studies skip the
+    # minutes-long remote recompile of the fused window (None disables)
+    compilation_cache_dir: str | None = "~/.cache/waveflow_tpu/xla"
     # on a non-finite loss window, restore the last good state and continue
     # with a fresh RNG stream (the reference's only recovery is manual
     # crash-restart from pickle, SURVEY §5)
@@ -93,6 +96,9 @@ class VMCTrainer:
         if c.matmul_precision:
             jax.config.update("jax_default_matmul_precision",
                               c.matmul_precision)
+        if c.compilation_cache_dir:
+            from waveflow_tpu.utils import enable_persistent_compilation_cache
+            enable_persistent_compilation_cache(c.compilation_cache_dir)
         self.protons, self.n_particle = system_catalogue[
             c.n_space_dimension][c.system_name]
 
