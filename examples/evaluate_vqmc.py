@@ -16,7 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from waveflow_tpu.physics import (exact_free_fermion_energy,
                                   exact_ground_state_1d, system_catalogue)
-from waveflow_tpu.utils import clipped_energy_estimate
+from waveflow_tpu.utils import clipped_energy_estimate, median_energy_estimate
 
 
 def main():
@@ -32,6 +32,8 @@ def main():
     args = p.parse_args()
 
     trace = np.load(Path(args.save_dir) / 'loss.npy')
+    median, med_stderr = median_energy_estimate(
+        trace, tail_fraction=args.tail_fraction)
     mean, stderr = clipped_energy_estimate(trace, clip=args.clip,
                                            tail_fraction=args.tail_fraction)
     protons, n_el = system_catalogue[1][args.system]
@@ -41,15 +43,26 @@ def main():
                              'box system (box2/box3)')
         exact = exact_free_fermion_energy(n_el, args.box_length)
     else:
-        exact = exact_ground_state_1d(np.asarray(protons), n_el,
-                                      args.box_length)
+        try:
+            exact = exact_ground_state_1d(np.asarray(protons), n_el,
+                                          args.box_length)
+        except NotImplementedError as e:
+            raise SystemExit(
+                f"{e}\nHint: for protonless box systems pass "
+                "--no-interactions (analytic free-fermion oracle); for "
+                "interacting n>3 systems no exact oracle exists — report "
+                "the VMC energy as a variational result.") from e
 
-    n_sigma = abs(mean - exact) / stderr if stderr > 0 else float('inf')
-    print(f"epochs:            {len(trace)}")
-    print(f"VMC energy:        {mean:.4f} +/- {stderr:.4f} "
-          f"(clip ±{args.clip:g}, last {args.tail_fraction:.0%})")
-    print(f"exact (ED oracle): {exact:.4f}")
-    print(f"deviation:         {mean - exact:+.4f}  ({n_sigma:.1f} sigma)")
+    n_sigma = abs(median - exact) / med_stderr if med_stderr > 0 else float('inf')
+    print(f"epochs:             {len(trace)}")
+    # the median is the primary statistic: fixed-clip means are biased low
+    # on heavy-tailed traces (one-sided nodal spikes; see RESULTS.md)
+    print(f"VMC energy (median): {median:.4f} +/- {med_stderr:.4f} "
+          f"(last {args.tail_fraction:.0%})")
+    print(f"clip-mean [biased on heavy tails]: {mean:.4f} +/- {stderr:.4f} "
+          f"(clip ±{args.clip:g})")
+    print(f"exact (ED oracle):  {exact:.4f}")
+    print(f"deviation (median): {median - exact:+.4f}  ({n_sigma:.1f} sigma)")
 
 
 if __name__ == '__main__':

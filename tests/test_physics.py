@@ -202,3 +202,41 @@ def test_exact_h2_1d_energies():
     assert abs(E2 - (-1.7136)) < 5e-3, E2
     E1, _, _ = exact_ground_state_1p(protons, 10.0, 2000)
     assert abs(E1 - (-1.2901)) < 5e-3, E1
+
+
+def test_exact_3p_free_fermions_matches_analytic():
+    """3-fermion antisymmetric-triple ED with interactions off reproduces
+    the analytic free-fermion level sum (grid-converging from below)."""
+    from waveflow_tpu.physics import (exact_free_fermion_energy,
+                                      exact_ground_state_3p)
+    e_analytic = exact_free_fermion_energy(3, 5.0)
+    e60, psi, x = exact_ground_state_3p([], 5.0, n_grid=60,
+                                        interactions=False)
+    e80, _, _ = exact_ground_state_3p([], 5.0, n_grid=80,
+                                      interactions=False)
+    assert abs(e60 - e_analytic) < 2e-3
+    assert abs(e80 - e_analytic) < 1e-3
+    # O(h^2) finite-difference error shrinks with the grid
+    assert abs(e80 - e_analytic) < abs(e60 - e_analytic)
+    # normalization convention: 6 * sum psi^2 h^3 = 1
+    h = x[1] - x[0]
+    np.testing.assert_allclose(6.0 * (psi ** 2).sum() * h ** 3, 1.0,
+                               rtol=1e-6)
+
+
+def test_exact_3p_interacting_li_bounds():
+    """Interacting Li (3 protons at origin, 3 electrons): the ED energy at a
+    coarse grid sits above He's 2-electron analogue minus binding scale and
+    is grid-stable at the percent level (full-resolution value recorded in
+    RESULTS.md)."""
+    from waveflow_tpu.physics import exact_ground_state_3p
+    protons = np.array([[0.0], [0.0], [0.0]])
+    e55, _, _ = exact_ground_state_3p(protons, 10.0, n_grid=55)
+    e75, _, _ = exact_ground_state_3p(protons, 10.0, n_grid=75)
+    assert np.isfinite(e55) and np.isfinite(e75)
+    assert abs(e55 - e75) < 0.05, (e55, e75)
+    # variational sanity: adding soft-Coulomb repulsion must raise the
+    # energy relative to the interaction-free case with the same protons
+    e_free, _, _ = exact_ground_state_3p(protons, 10.0, n_grid=55,
+                                         interactions=False)
+    assert e55 > e_free

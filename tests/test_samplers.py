@@ -103,3 +103,118 @@ def test_parameter_posterior_wrapper():
     state, trace = run_fn(state, jax.random.PRNGKey(2), 300, n_warmup=200)
     post_mean = float(np.asarray(trace[100:]).mean())
     assert abs(post_mean - float(data.mean())) < 0.1
+
+
+# --- MCMC drivers against the real Waveflow model (not toy Gaussians) ------
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_waveflow():
+    from waveflow_tpu.models import get_waveflow_model
+    init = get_waveflow_model(2, base_spline_degree=4, i_spline_degree=4,
+                              n_prior_internal_knots=8, n_i_internal_knots=8,
+                              i_spline_reg=0.1, n_flow_layers=1, box_size=5.0,
+                              xu_coord_type='mean',
+                              n_spline_base_mesh_points=400)
+    return init(jax.random.PRNGKey(0), 2)
+
+
+def test_metropolis_stationary_on_waveflow(tiny_waveflow):
+    """Stationarity of the Metropolis kernel on the model's own log_pdf
+    (sorted-sector quotient): warm-start walkers at exact ancestral draws —
+    the production VMC mode — and run many sweeps; if the kernel's
+    stationary law were not |ψ_A|², the pooled moments would drift away
+    from the ancestral ones.  (A cold uniform start is impractical here:
+    the untrained squared-spline density has nodal barriers that RWM
+    crosses slowly.)"""
+    params, psi, log_pdf, sample = tiny_waveflow
+    anc = np.asarray(sample(jax.random.PRNGKey(1), params, 4096))
+
+    init_fn, _, run_fn = make_metropolis_sampler(
+        log_pdf, bounds=(-5.0, 5.0),
+        proposal_map=lambda x: jnp.sort(x, axis=-1))
+    pos = jnp.asarray(anc[:512])
+    state = init_fn(params, pos, step_size=1.0)
+    state, trace = jax.jit(run_fn, static_argnums=(3, 4))(
+        params, state, jax.random.PRNGKey(3), 400, 1)
+    mc = np.asarray(trace[200:]).reshape(-1, 2)
+
+    np.testing.assert_allclose(mc.mean(0), anc.mean(0), atol=0.2)
+    np.testing.assert_allclose(mc.std(0), anc.std(0), atol=0.2)
+    assert 0.15 < float(state.accept_rate) < 0.9
+
+
+def test_hmc_stationary_on_waveflow(tiny_waveflow):
+    """HMC reusing the flow's log-prob kernel (gradients through the whole
+    bijection stack): warm-started chains stay in the ancestral law."""
+    params, psi, log_pdf, sample = tiny_waveflow
+    anc = np.asarray(sample(jax.random.PRNGKey(1), params, 4096))
+
+    # keep HMC in the sorted open box: the sorted-sector density extended
+    # symmetrically is |psi_A|^2, so sampling x unsorted and sorting after
+    # is exact for moment checks of the sorted representative
+    def log_prob(x):
+        xs = jnp.sort(jnp.clip(x, -4.999, 4.999), axis=-1)
+        return log_pdf(params, xs)
+
+    init_fn, _, run_fn = make_hmc_sampler(log_prob, n_leapfrog=8)
+    pos = jnp.asarray(anc[:256])
+    state = init_fn(pos, step_size=0.3)
+    state, trace = run_fn(state, jax.random.PRNGKey(3), 300, n_warmup=150)
+    mc = np.sort(np.clip(np.asarray(trace[100:]).reshape(-1, 2), -5, 5), -1)
+
+    np.testing.assert_allclose(mc.mean(0), anc.mean(0), atol=0.25)
+    np.testing.assert_allclose(mc.std(0), anc.std(0), atol=0.25)
+
+
+# --- NUTS (dynamic trajectory length, vmc/nuts.py) --------------------------
+
+def test_nuts_standard_normal():
+    from waveflow_tpu.vmc.nuts import make_nuts_sampler
+    log_prob = lambda x: -0.5 * (x ** 2).sum(-1)
+    init_fn, _, run_fn = make_nuts_sampler(log_prob, max_tree_depth=6)
+    pos = jax.random.normal(jax.random.PRNGKey(0), (64, 3)) * 0.1
+    state = init_fn(pos, step_size=0.2)
+    state, trace = jax.jit(run_fn, static_argnums=(2, 3))(
+        state, jax.random.PRNGKey(1), 300, 100)
+    s = np.asarray(trace[100:]).reshape(-1, 3)
+    assert abs(s.mean()) < 0.05
+    assert abs(s.std() - 1.0) < 0.05
+
+
+def test_nuts_anisotropic_adapts_trajectory():
+    """Scale ratio 10: fixed-length HMC with a single step size struggles;
+    NUTS adapts trajectory length per draw and recovers both scales."""
+    from waveflow_tpu.vmc.nuts import make_nuts_sampler
+    scales = jnp.asarray([0.3, 3.0])
+    log_prob = lambda x: -0.5 * ((x / scales) ** 2).sum(-1)
+    init_fn, _, run_fn = make_nuts_sampler(log_prob, max_tree_depth=7)
+    pos = jax.random.normal(jax.random.PRNGKey(2), (64, 2)) * 0.1
+    state = init_fn(pos, step_size=0.1)
+    state, trace = jax.jit(run_fn, static_argnums=(2, 3))(
+        state, jax.random.PRNGKey(3), 400, 150)
+    s = np.asarray(trace[100:]).reshape(-1, 2)
+    np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.15)
+    assert np.isfinite(float(state.step_size))
+
+
+def test_nuts_parameter_posterior():
+    """NUTS over flow parameters via make_parameter_posterior — the
+    BASELINE.json configs[4] composition with dynamic trajectories."""
+    from waveflow_tpu.vmc.nuts import make_nuts_sampler
+    data = jax.random.normal(jax.random.PRNGKey(0), (200, 1)) + 1.5
+    template = {'mu': jnp.zeros(())}
+
+    def log_pdf(params, x):
+        return -0.5 * ((x[:, 0] - params['mu']) ** 2)
+
+    log_prob, unravel, flat0 = make_parameter_posterior(
+        log_pdf, data, template, prior_scale=10.0)
+    init_fn, _, run_fn = make_nuts_sampler(log_prob, max_tree_depth=5)
+    chains = flat0[None] + jax.random.normal(jax.random.PRNGKey(1), (16, 1))
+    state = init_fn(chains, step_size=0.05)
+    state, trace = run_fn(state, jax.random.PRNGKey(2), 200, n_warmup=100)
+    post_mean = float(np.asarray(trace[50:]).mean())
+    assert abs(post_mean - float(data.mean())) < 0.1

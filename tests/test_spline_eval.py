@@ -48,6 +48,32 @@ def test_custom_jvp_matches_derivative_table(i_setup):
     np.testing.assert_allclose(g2, d2, rtol=1e-4, atol=1e-4)
 
 
+def test_pair_eval_matches_separate_evals(i_setup):
+    """Fused (value, derivative) pair path vs the scalar chain, through
+    two derivative orders of autodiff (the Laplacian's consumption)."""
+    ev, w, x = i_setup
+    v, dv = ev.pair(w, x)
+    np.testing.assert_allclose(v, ev(w, x), rtol=1e-6)
+    np.testing.assert_allclose(dv, ev(w, x, d=1), rtol=1e-6)
+
+    # first/second x-derivatives of the pair's value component must chain
+    # through the derivative tables exactly like the scalar path
+    val = lambda ww, xx: ev.pair(ww, xx)[0]
+    g = jax.vmap(jax.grad(val, argnums=1))(w, x)
+    np.testing.assert_allclose(g, ev(w, x, d=1), rtol=1e-5, atol=1e-6)
+    g2 = jax.vmap(jax.grad(jax.grad(val, argnums=1), argnums=1))(w, x)
+    np.testing.assert_allclose(g2, ev(w, x, d=2), rtol=1e-4, atol=1e-4)
+
+    # derivative component's own x-derivative = order 2
+    der = lambda ww, xx: ev.pair(ww, xx)[1]
+    gd = jax.vmap(jax.grad(der, argnums=1))(w, x)
+    np.testing.assert_allclose(gd, ev(w, x, d=2), rtol=1e-4, atol=1e-4)
+
+    # coefficient tangents
+    gw = jax.vmap(jax.grad(val, argnums=0))(w, x)
+    np.testing.assert_allclose(gw, ev.basis(x), rtol=1e-5, atol=1e-6)
+
+
 def test_grad_wrt_coeffs_is_basis(i_setup):
     ev, w, x = i_setup
     gw = jax.vmap(jax.grad(lambda ww, xx: ev(ww, xx), argnums=0))(w, x)

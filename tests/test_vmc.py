@@ -135,3 +135,76 @@ def test_divergence_recovery_restores_good_state(small_trainer, monkeypatch):
     # the poisoned window's losses are dropped, others recorded & finite
     recorded = np.asarray(losses[-15:])
     assert np.isfinite(recorded).all()
+
+
+def test_vmc_metropolis_sampler_trains_and_checkpoints():
+    """sampler='metropolis': warm-started MCMC walkers drive the VMC loop,
+    persist across windows, stay in the sorted box sector, and round-trip
+    through checkpoints (north-star VMC loop, BASELINE.json)."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, sampler='metropolis', mcmc_sweeps=5,
+                    learning_rate=3e-3, save_dir='/tmp/vmc_mcmc_test')
+    t = VMCTrainer(cfg)
+    losses = np.asarray(t.train(num_epochs=40, verbose=False))
+    assert losses.shape == (40,)
+    assert np.isfinite(losses).all()
+    assert t.mcmc_state is not None
+    pos = np.asarray(t.mcmc_state.positions)
+    assert pos.shape == (64, 2)
+    assert (np.diff(pos, axis=-1) >= 0).all()          # sorted sector
+    assert (np.abs(pos) <= 5.0).all()                  # in the box
+    assert 0.05 < float(t.mcmc_state.accept_rate) < 0.95
+
+    t.save_checkpoint('/tmp/vmc_mcmc_test_ckpt')
+    t2 = VMCTrainer(cfg)
+    assert t2.load_checkpoint('/tmp/vmc_mcmc_test_ckpt')
+    np.testing.assert_array_equal(np.asarray(t2.mcmc_state.positions), pos)
+    assert float(t2.mcmc_state.step_size) == float(t.mcmc_state.step_size)
+
+
+def test_vmc_metropolis_data_parallel_collective_adaptation():
+    """Metropolis VMC on the 8-device mesh: the pmean'd acceptance makes all
+    devices adapt one collective step size; losses finite; walker keys are
+    tracked on the trainer and checkpointed."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, sampler='metropolis', mcmc_sweeps=3,
+                    data_parallel=True, learning_rate=3e-3,
+                    save_dir='/tmp/vmc_mcmc_dp_test')
+    t = VMCTrainer(cfg)
+    assert t.mesh is not None and t.mesh.devices.size == 8
+    losses = np.asarray(t.train(num_epochs=20, verbose=False))
+    assert np.isfinite(losses).all()
+    assert t.walker_keys is not None                   # RNG hygiene: keys live
+    st = t.mcmc_state
+    assert np.asarray(st.positions).shape == (64, 2)
+    assert np.isfinite(float(st.step_size))
+    t.save_checkpoint('/tmp/vmc_mcmc_dp_ckpt')
+    t2 = VMCTrainer(cfg)
+    assert t2.load_checkpoint('/tmp/vmc_mcmc_dp_ckpt')
+    assert t2.walker_keys is not None
+    np.testing.assert_array_equal(np.asarray(t2.walker_keys),
+                                  np.asarray(t.walker_keys))
+
+
+def test_vmc_data_parallel_rng_advances_and_checkpoints():
+    """Round-1 review: in mesh mode self.rng was never advanced and the
+    per-device keys were not checkpointed — resume replayed the stream.
+    Now the host rng advances when keys are created and keys round-trip."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, data_parallel=True,
+                    save_dir='/tmp/vmc_dp_rng_test')
+    t = VMCTrainer(cfg)
+    rng_before = np.asarray(jax.device_get(t.rng)).copy()
+    t.train(num_epochs=10, verbose=False)
+    assert not np.array_equal(np.asarray(jax.device_get(t.rng)), rng_before)
+    keys_after = np.asarray(jax.device_get(t.walker_keys)).copy()
+    t.save_checkpoint('/tmp/vmc_dp_rng_ckpt')
+    t2 = VMCTrainer(cfg)
+    assert t2.load_checkpoint('/tmp/vmc_dp_rng_ckpt')
+    np.testing.assert_array_equal(np.asarray(t2.walker_keys), keys_after)

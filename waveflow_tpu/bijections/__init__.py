@@ -1,7 +1,7 @@
 from waveflow_tpu.bijections.core import (
     ActNorm, AffineCoupling, AffineCouplingSplit, BatchNorm,
     FixedInvertibleLinear, Invert, InvertibleLinear, Logit, MADE, Reverse,
-    Serial, Shuffle, Sigmoid,
+    Serial, Shuffle, Sigmoid, batchnorm_update_stats,
 )
 from waveflow_tpu.bijections.imade import IMADE
 from waveflow_tpu.bijections.box_transform import BoxTransformLayer

@@ -101,59 +101,68 @@ def AffineCouplingSplit(scale, translate):
     return init_fun
 
 
-def BatchNorm(momentum=0.9):
-    """RealNVP batch normalization.
+def BatchNorm(momentum=0.9, eps=1e-5):
+    """Invertible normalization by stored running statistics — pure.
 
-    NOTE: inherently stateful (running/batch statistics); like the reference
-    (bijections.py:144-216) the state lives in a Python dict closed over by
-    the returned functions, so this layer is not jit-pure across calls.  It
-    exists for parity with the reference's density-estimation stacks; the
-    VMC path never uses it.
+    TPU-first redesign of the reference's stateful BatchNorm
+    (bijections.py:144-216), which kept batch/running statistics in a
+    Python dict closed over by the apply functions: not jit-pure across
+    calls, unusable under shard_map, and its train-mode inverse silently
+    depended on whichever forward ran last.  Here the statistics live in
+    the params pytree: ``params = (log_weight, bias, mean, var)``.  Direct
+    and inverse always normalize by the stored statistics, so they are
+    exact inverses of each other with a well-defined log-det, under any
+    transform.  To train with data-dependent statistics, fold batch
+    moments into the params between optimizer steps with
+    ``batchnorm_update_stats`` (an EMA update, outside the gradient), or
+    initialize from data via the ``init_inputs`` kwarg like ActNorm.
+    The statistics never receive gradients (stop_gradient).
     """
 
     def init_fun(rng, input_dim, **kwargs):
-        log_weight = jnp.zeros(input_dim)
-        bias = jnp.zeros(input_dim)
-        eps = 1e-5
-        state = {}
+        init_inputs = kwargs.pop("init_inputs", None)
+        if init_inputs is not None:
+            mean = init_inputs.mean(0)
+            var = init_inputs.var(0) + eps
+        else:
+            mean = jnp.zeros(input_dim)
+            var = jnp.ones(input_dim)
+        params = (jnp.zeros(input_dim), jnp.zeros(input_dim), mean, var)
 
         def direct_fun(params, inputs, **kwargs):
-            evaluation = kwargs.pop("evaluation", None)
-            log_weight, bias = params
-            if "running_mean" not in state:
-                state["running_mean"] = jnp.zeros(input_dim)
-                state["running_var"] = jnp.ones(input_dim)
-            if evaluation:
-                mean, var = state["running_mean"], state["running_var"]
-            else:
-                mean = inputs.mean(0)
-                var = ((inputs - mean) ** 2).mean(0) + eps
-                state["batch_mean"], state["batch_var"] = mean, var
-                state["running_mean"] = state["running_mean"] * momentum + mean * (1 - momentum)
-                state["running_var"] = state["running_var"] * momentum + var * (1 - momentum)
+            log_weight, bias, mean, var = params
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
             x_hat = (inputs - mean) / jnp.sqrt(var)
             outputs = x_hat * jnp.exp(log_weight) + bias
-            ldj = jnp.full(inputs.shape[:1], (log_weight - 0.5 * jnp.log(var)).sum())
+            ldj = jnp.full(inputs.shape[:1],
+                           (log_weight - 0.5 * jnp.log(var)).sum())
             return outputs, ldj
 
         def inverse_fun(params, inputs, **kwargs):
-            evaluation = kwargs.pop("evaluation", None)
-            log_weight, bias = params
-            if "running_mean" not in state:
-                state["running_mean"] = jnp.zeros(input_dim)
-                state["running_var"] = jnp.ones(input_dim)
-            if evaluation:
-                mean, var = state["running_mean"], state["running_var"]
-            else:
-                mean, var = state["batch_mean"], state["batch_var"]
+            log_weight, bias, mean, var = params
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
             x_hat = (inputs - bias) * jnp.exp(-log_weight)
             outputs = x_hat * jnp.sqrt(var) + mean
-            ldj = jnp.full(inputs.shape[:1], (-log_weight + 0.5 * jnp.log(var)).sum())
+            ldj = jnp.full(inputs.shape[:1],
+                           (-log_weight + 0.5 * jnp.log(var)).sum())
             return outputs, ldj
 
-        return (log_weight, bias), direct_fun, inverse_fun
+        return params, direct_fun, inverse_fun
 
     return init_fun
+
+
+def batchnorm_update_stats(params, batch, momentum=0.9, eps=1e-5):
+    """EMA-fold a batch's moments into BatchNorm params (pure, jittable).
+
+    Call between optimizer steps; returns new params with updated
+    (mean, var) and untouched (log_weight, bias)."""
+    log_weight, bias, mean, var = params
+    new_mean = momentum * mean + (1 - momentum) * batch.mean(0)
+    new_var = momentum * var + (1 - momentum) * (batch.var(0) + eps)
+    return (log_weight, bias, new_mean, new_var)
 
 
 def Invert(bijection):
@@ -294,12 +303,18 @@ def MADE(transform):
             return outputs, -log_weight.sum(-1)
 
         def inverse_fun(params, inputs, **kwargs):
+            # column i's (log_weight, bias) depend only on columns < i, which
+            # are final by iteration i — so the per-column log-dets summed in
+            # the loop equal the true inverse log-det +Σ log_weight(x) (the
+            # reference returns 0 here, made.py:38; fixed, not copied)
             outputs = jnp.zeros_like(inputs)
+            log_det = jnp.zeros(inputs.shape[:1])
             for i_col in range(inputs.shape[1]):
                 log_weight, bias = jnp.split(apply_fun(params, outputs), 2, axis=1)
                 outputs = outputs.at[:, i_col].set(
                     inputs[:, i_col] * jnp.exp(log_weight[:, i_col]) + bias[:, i_col])
-            return outputs, 0
+                log_det = log_det + log_weight[:, i_col]
+            return outputs, log_det
 
         return params, direct_fun, inverse_fun
 

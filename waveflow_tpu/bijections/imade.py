@@ -59,8 +59,9 @@ def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
 
         def direct_fun(params, inputs, **kwargs):
             sp = spline_params(params, inputs)
-            outputs = ev(sp, inputs)               # (B, D)
-            deriv = ev(sp, inputs, d=1)
+            # fused (value, derivative) — one table gather instead of two,
+            # and the saving compounds under the Laplacian's nested JVPs
+            outputs, deriv = ev.pair(sp, inputs)   # (B, D) each
             log_det = jnp.log(deriv + LOG_TOL).sum(-1)
             return outputs, log_det
 

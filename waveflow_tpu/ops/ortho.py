@@ -55,18 +55,3 @@ def loewdin_orthonormalize(values: np.ndarray, quad_weights: np.ndarray | None =
     sqrt = (evecs * (evals ** 0.5)[None, :]) @ evecs.T
     ob_values = inv_sqrt @ values
     return ob_values, inv_sqrt, sqrt
-
-
-def gram_schmidt_symm(mat: np.ndarray) -> np.ndarray:
-    """Drop-in analogue of the reference's symmetric orthonormalization.
-
-    Takes (n_points, n_bases) column-functions (the reference's layout,
-    ortho_splines.py:43) and returns the orthonormalized columns scaled to
-    unit *mean-square* like the reference (which multiplies by sqrt(N),
-    ortho_splines.py:108-110).  Internally uses Löwdin; see module docstring.
-    """
-    values = mat.T  # (n_bases, n_points)
-    ob_values, _, _ = loewdin_orthonormalize(values)
-    # reference convention: unit mean-square (sum/N = 1), i.e. the plain-dot
-    # inner product of columns is N. ∫=1 with dx=1/(N-1)·trapz ≈ mean-square.
-    return ob_values.T

@@ -79,7 +79,15 @@ class SplineEvaluator:
         cells = np.concatenate(
             [tables[:, :-1, :], tables[:, 1:, :] - tables[:, :-1, :]], axis=-1)
         self.cell_tables = jnp.asarray(cells)
+        # (nd-1, n_cells, 4*n_bases) rows of [T_d|ΔT_d|T_{d+1}|ΔT_{d+1}]:
+        # one gather yields value AND first derivative together — the pair
+        # path halves the gather count of the (eval, eval d=1) sequence in
+        # IMADE.direct_fun, and the saving compounds through the Laplacian's
+        # nested JVPs (each jvp instantiation re-issues the gathers)
+        pair_cells = np.concatenate([cells[:-1], cells[1:]], axis=-1)
+        self.pair_cell_tables = jnp.asarray(pair_cells)
         self._fns = self._build_jvp_chain()
+        self._pair_fns = self._build_pair_chain()
 
     def _build_jvp_chain(self):
         """One custom-jvp function per derivative order, chained d -> d+1.
@@ -115,6 +123,61 @@ class SplineEvaluator:
         for d in reversed(range(n_deriv)):
             fns[d] = make(d)
         return fns
+
+    def _build_pair_chain(self):
+        """Fused (value, derivative) evaluation with one gather per order.
+
+        pair(d) returns (Σc T^{(d)}, Σc T^{(d+1)}) from a single row gather
+        of the stacked pair table.  Its JVP chains to pair(d+1) for the
+        x-tangent terms (same truncation rule at the top order as the
+        scalar chain).
+        """
+        pair_tables = self.pair_cell_tables
+        n_bases = self.n_bases
+        n_pairs = int(pair_tables.shape[0])
+        fns: list = [None] * max(n_pairs, 1)
+
+        def make(d):
+            def raw_eval(coeffs, x):
+                table = pair_tables[d]
+                n_cells = table.shape[0]
+                pos = x * n_cells
+                idx = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_cells - 1)
+                frac = (pos - idx)[..., None]
+                row = jnp.take(table, idx, axis=0)   # (..., 4*n_bases)
+                v = row[..., :n_bases] + row[..., n_bases:2 * n_bases] * frac
+                dv = row[..., 2 * n_bases:3 * n_bases] \
+                    + row[..., 3 * n_bases:] * frac
+                return (jnp.sum(v * coeffs, axis=-1),
+                        jnp.sum(dv * coeffs, axis=-1))
+
+            f = jax.custom_jvp(raw_eval)
+
+            def f_jvp(primals, tangents):
+                coeffs, x = primals
+                t_coeffs, t_x = tangents
+                primal_out = raw_eval(coeffs, x)
+                tc_v, tc_dv = raw_eval(t_coeffs, x)
+                if d + 1 < n_pairs:
+                    w_d1, w_d2 = fns[d + 1](coeffs, x)
+                    tangent_out = (tc_v + w_d1 * t_x, tc_dv + w_d2 * t_x)
+                else:
+                    # top order: x-tangent of the derivative component is
+                    # truncated (order n_derivatives is not tabulated); the
+                    # value component still chains through primal_out[1]
+                    tangent_out = (tc_v + primal_out[1] * t_x, tc_dv)
+                return primal_out, tangent_out
+
+            f.defjvp(f_jvp)
+            return f
+
+        for d in reversed(range(n_pairs)):
+            fns[d] = make(d)
+        return fns
+
+    def pair(self, coeffs: jnp.ndarray, x: jnp.ndarray, d: int = 0):
+        """(Σ_i c_i T_i^{(d)}(x), Σ_i c_i T_i^{(d+1)}(x)) in one gather."""
+        return self._pair_fns[d](coeffs, x)
 
     def basis(self, x: jnp.ndarray, d: int = 0) -> jnp.ndarray:
         """Interpolated basis matrix T^{(d)} at x: (..., n_bases)."""

@@ -109,6 +109,47 @@ def make_sharded_train_window(psi, h_fn, sample_fn, optimizer,
     return jax.jit(mapped)
 
 
+def make_sharded_mcmc_window(psi, h_fn, log_pdf, optimizer, window: int,
+                             box_length: float, mesh: Mesh,
+                             n_sweeps: int = 10,
+                             target_accept: float = 0.5,
+                             axis_name: str = WALKER_AXIS,
+                             estimator: str = 'clipped_score'):
+    """Walker-sharded Metropolis-driven VMC window.
+
+    Walker positions and log-probs are sharded over the walker axis; the
+    Metropolis step-size adaptation pmean-reduces acceptance statistics so
+    all devices share ONE collective step size (BASELINE.json north star),
+    and gradients/losses are pmean-reduced as in the ancestral window.
+
+    Returns (init_fn, window_fn):
+      init_fn(params, positions (B,D), step_size) -> MetropolisState
+        (plain single-device init — shard the fields afterwards);
+      window_fn(params, opt_state, keys (n_dev,2), baseline, mstate) ->
+        (params, opt_state, keys, new_baseline, losses, mstate).
+    """
+    from waveflow_tpu.vmc.metropolis import make_mcmc_train_window
+
+    init_fn, local_window = make_mcmc_train_window(
+        psi, h_fn, log_pdf, optimizer, window, box_length,
+        n_sweeps=n_sweeps, target_accept=target_accept,
+        pmean_axis=axis_name, estimator=estimator)
+
+    def local(params, opt_state, keys, baseline, mstate):
+        params, opt_state, rng, new_baseline, losses, mstate = local_window(
+            params, opt_state, keys[0], baseline, mstate)
+        return params, opt_state, rng[None], new_baseline, losses, mstate
+
+    from waveflow_tpu.vmc.metropolis import MetropolisState
+    in_state_spec = MetropolisState(P(axis_name), P(axis_name), P(), P())
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(), in_state_spec),
+        out_specs=(P(), P(), P(axis_name), P(), P(), in_state_spec),
+        check_vma=False)
+    return init_fn, jax.jit(mapped)
+
+
 def psum_mean(x, axis_name: str = WALKER_AXIS):
     """Mean over both the local batch and the mesh axis."""
     return jax.lax.pmean(jnp.mean(x), axis_name)

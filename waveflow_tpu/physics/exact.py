@@ -98,6 +98,62 @@ def exact_ground_state_2p(protons, box_length: float, n_grid: int = 120):
     return float(evals[0]), psi, x
 
 
+def exact_ground_state_3p(protons, box_length: float, n_grid: int = 110,
+                          interactions: bool = True):
+    """Ground state of three spinless fermions: (energy, psi_triples, x).
+
+    Sparse ED in the antisymmetric-triple basis { (x_i, x_j, x_k) : i<j<k }
+    — beyond both the reference's qmsolve oracle (TwoFermions only,
+    qmsolve_1d_interavtive.py:28-86) and this repo's round-1 limit.  With a
+    3-point kinetic stencil, ±1 hops from a strictly ordered triple either
+    stay ordered or collide (vanish by antisymmetry), so no permutation
+    sign bookkeeping is needed.  Basis size C(n_grid, 3) (~216k at the
+    default 110 points); H has ≤ 7 nonzeros per row, eigsh-feasible.
+    """
+    x = np.linspace(-box_length, box_length, n_grid + 2)[1:-1]
+    n = len(x)
+    h = x[1] - x[0]
+    v1 = _soft_coulomb_v(x, protons) if np.asarray(protons).size \
+        else np.zeros(n)
+
+    i_idx, j_idx, k_idx = np.meshgrid(np.arange(n), np.arange(n),
+                                      np.arange(n), indexing='ij')
+    mask = (i_idx < j_idx) & (j_idx < k_idx)
+    triples = np.stack([i_idx[mask], j_idx[mask], k_idx[mask]], axis=1)
+    m = len(triples)
+    rank = -np.ones((n, n, n), dtype=np.int64)
+    rank[triples[:, 0], triples[:, 1], triples[:, 2]] = np.arange(m)
+
+    ti, tj, tk = triples[:, 0], triples[:, 1], triples[:, 2]
+    diag = (3.0 / h ** 2) + v1[ti] + v1[tj] + v1[tk]
+    if interactions:
+        for a, b in ((ti, tj), (ti, tk), (tj, tk)):
+            diag = diag + 1.0 / np.sqrt(1.0 + (x[a] - x[b]) ** 2)
+
+    rows, cols, vals = [np.arange(m)], [np.arange(m)], [diag]
+    off = -0.5 / h ** 2
+    for p in range(3):
+        for dlt in (-1, 1):
+            new = triples.copy()
+            new[:, p] += dlt
+            ok = (new[:, p] >= 0) & (new[:, p] < n)
+            # collision with a neighbor => antisymmetric state vanishes
+            ok &= (new[:, 0] < new[:, 1]) & (new[:, 1] < new[:, 2])
+            src = np.arange(m)[ok]
+            dst = rank[new[ok, 0], new[ok, 1], new[ok, 2]]
+            rows.append(src)
+            cols.append(dst)
+            vals.append(np.full(len(src), off))
+
+    H = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(m, m)).tocsr()
+    evals, evecs = eigsh(H, k=1, which='SA')
+    psi = evecs[:, 0]
+    psi = psi / np.sqrt(6.0 * (psi ** 2).sum() * h ** 3)
+    return float(evals[0]), psi, x
+
+
 def exact_free_fermion_energy(n_electrons: int, box_length: float) -> float:
     """Exact ground energy of n non-interacting spinless fermions in the box
     [-L, L] with Dirichlet walls: the n lowest particle-in-a-box levels,
@@ -117,5 +173,8 @@ def exact_ground_state_1d(protons, n_electrons: int, box_length: float,
     if n_electrons == 2:
         n_grid = n_grid or 120
         return exact_ground_state_2p(protons, box_length, n_grid)[0]
+    if n_electrons == 3:
+        n_grid = n_grid or 110
+        return exact_ground_state_3p(protons, box_length, n_grid)[0]
     raise NotImplementedError(
-        f"exact diagonalization supports 1-2 electrons, got {n_electrons}")
+        f"exact diagonalization supports 1-3 electrons, got {n_electrons}")

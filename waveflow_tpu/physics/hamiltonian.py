@@ -139,7 +139,7 @@ def get_potential(protons, n_space_dimensions=1, interactions=True):
     return potential
 
 
-def construct_hamiltonian_function(fn, protons=jnp.array([[0.0, 0.0]]),
+def construct_hamiltonian_function(fn, protons=((0.0, 0.0),),
                                    n_space_dimensions=2, eps=0.0,
                                    laplacian_mode='fwd', interactions=True):
     """Build h(params, x) = -½∇²ψ + Vψ : (batch, n) -> (batch, 1)

@@ -2,8 +2,8 @@ from waveflow_tpu.utils.checkpoint import (
     OrbaxCheckpointer, load_state, save_state, save_state_multihost,
 )
 from waveflow_tpu.utils.observables import (
-    clipped_energy_estimate, moving_average, uniform_sliding_average,
-    uniform_sliding_stdev,
+    clipped_energy_estimate, median_energy_estimate, moving_average,
+    uniform_sliding_average, uniform_sliding_stdev,
 )
 from waveflow_tpu.utils.profiling import (
     enable_persistent_compilation_cache, time_fn, trace,

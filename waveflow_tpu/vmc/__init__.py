@@ -3,3 +3,4 @@ from waveflow_tpu.vmc.estimators import (
     make_policy_gradient_step,
 )
 from waveflow_tpu.vmc.trainer import VMCConfig, VMCTrainer
+from waveflow_tpu.vmc.nuts import NUTSState, make_nuts_sampler

@@ -55,12 +55,14 @@ def save_wavefunction_artifacts(save_dir: str, psi, sample, params, epoch: int,
     np.save(de_dir / f'random_values_epoch{epoch}.npy', z)
     np.save(de_dir / f'random_coord_epoch{epoch}.npy', x)
 
-    # on-proton slice (75-84)
-    x = np.ones((ngrid, x.shape[1]), dtype=np.float32) * np.asarray(protons)[0, 0]
-    x[:, 0] = line
-    z = eval_psi_antisymmetrized(psi, params, jnp.asarray(x))
-    np.save(de_dir / f'onproton_values_epoch{epoch}.npy', z)
-    np.save(de_dir / f'onproton_coord_epoch{epoch}.npy', x)
+    # on-proton slice (75-84); protonless box systems have no anchor to slice
+    if np.asarray(protons).size:
+        x = np.ones((ngrid, x.shape[1]), dtype=np.float32) \
+            * np.asarray(protons)[0, 0]
+        x[:, 0] = line
+        z = eval_psi_antisymmetrized(psi, params, jnp.asarray(x))
+        np.save(de_dir / f'onproton_values_epoch{epoch}.npy', z)
+        np.save(de_dir / f'onproton_coord_epoch{epoch}.npy', x)
 
     # walker sample cloud (87-89)
     pts = np.asarray(sample(rng, params, nsample))

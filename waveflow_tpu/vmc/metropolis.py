@@ -28,14 +28,21 @@ class MetropolisState(NamedTuple):
 def make_metropolis_sampler(log_pdf, target_accept: float = 0.5,
                             adapt_rate: float = 0.1,
                             axis_name: str | None = None,
-                            bounds: tuple[float, float] | None = None):
+                            bounds: tuple[float, float] | None = None,
+                            proposal_map=None):
     """Build (init_fn, step_fn, run_fn) for random-walk Metropolis.
 
     log_pdf: (params, x (B,D)) -> (B,) unnormalized log density.
     bounds: optional (lo, hi) box; proposals outside are rejected by -inf.
+    proposal_map: optional symmetric projection applied to proposals (e.g.
+      coordinate sort for permutation-symmetric fermion densities: the
+      Gaussian proposal summed over permutations is symmetric in (x, x'),
+      so detailed balance holds on the sorted quotient space).
     """
 
     def init_fn(params, positions, step_size=0.1):
+        if proposal_map is not None:
+            positions = proposal_map(positions)
         lp = log_pdf(params, positions)
         return MetropolisState(positions, lp, jnp.asarray(step_size),
                                jnp.asarray(target_accept))
@@ -44,6 +51,8 @@ def make_metropolis_sampler(log_pdf, target_accept: float = 0.5,
         rng_prop, rng_acc = jax.random.split(rng)
         noise = jax.random.normal(rng_prop, state.positions.shape)
         proposal = state.positions + state.step_size * noise
+        if proposal_map is not None:
+            proposal = proposal_map(proposal)
         lp_prop = log_pdf(params, proposal)
         if bounds is not None:
             lo, hi = bounds
@@ -77,3 +86,58 @@ def make_metropolis_sampler(log_pdf, target_accept: float = 0.5,
         return state, trace[::thin]
 
     return init_fn, step_fn, run_fn
+
+
+def make_mcmc_train_window(psi, h_fn, log_pdf, optimizer, window: int,
+                           box_length: float, n_sweeps: int = 10,
+                           target_accept: float = 0.5,
+                           pmean_axis: str | None = None,
+                           estimator: str = 'clipped_score',
+                           energy_clip: float | None = None):
+    """Fused Metropolis-driven VMC training window (north-star VMC loop:
+    "Metropolis walkers, collective step-size adaptation", BASELINE.json).
+
+    Walkers persist across epochs (warm-started MCMC instead of exact
+    ancestral draws): each fused epoch runs ``n_sweeps`` random-walk
+    Metropolis sweeps over the antisymmetrized density |ψ_A|² — proposals
+    re-sorted into the ordered sector, which is valid Metropolis on the
+    permutation quotient — then one gradient update on the walker batch.
+    After the update the stored log-probabilities are refreshed under the
+    new parameters so the next epoch's acceptance ratios target the
+    current density.  When ``pmean_axis`` is set, acceptance statistics
+    are pmean-reduced so every device adapts one collective step size.
+
+    Returns (init_fn, run_window) where run_window(params, opt_state, rng,
+    baseline, mstate) -> (params, opt_state, rng, new_baseline, losses,
+    mstate).
+    """
+    from waveflow_tpu.vmc.estimators import make_train_step
+
+    sort_cols = lambda x: jnp.sort(x, axis=-1)
+    init_fn, step_fn, _ = make_metropolis_sampler(
+        log_pdf, target_accept=target_accept, axis_name=pmean_axis,
+        bounds=(-box_length, box_length), proposal_map=sort_cols)
+    train_step = make_train_step(psi, h_fn, optimizer, pmean_axis=pmean_axis,
+                                 estimator=estimator, energy_clip=energy_clip)
+
+    def run_window(params, opt_state, rng, baseline, mstate):
+        def body(carry, _):
+            params, opt_state, rng, mstate = carry
+            rng, k = jax.random.split(rng)
+
+            def sweep(st, kk):
+                return step_fn(params, st, kk), None
+
+            mstate, _ = jax.lax.scan(sweep, mstate,
+                                     jax.random.split(k, n_sweeps))
+            params, opt_state, loss = train_step(
+                params, opt_state, mstate.positions, baseline)
+            mstate = mstate._replace(
+                log_prob=log_pdf(params, mstate.positions))
+            return (params, opt_state, rng, mstate), loss
+
+        (params, opt_state, rng, mstate), losses = jax.lax.scan(
+            body, (params, opt_state, rng, mstate), None, length=window)
+        return params, opt_state, rng, losses.mean(), losses, mstate
+
+    return init_fn, run_window

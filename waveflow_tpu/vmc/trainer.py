@@ -64,6 +64,14 @@ class VMCConfig:
     # energy_clip optionally applies a fixed ±clip there)
     estimator: str = 'clipped_score'
     energy_clip: float | None = None
+    # walker source: 'ancestral' (exact inverse-CDF draws from |ψ|², the
+    # reference's only mode) or 'metropolis' (warm-started MCMC walkers
+    # persisted across epochs with collective step-size adaptation — the
+    # north-star VMC loop, BASELINE.json)
+    sampler: str = 'ancestral'
+    mcmc_sweeps: int = 10            # Metropolis sweeps between updates
+    mcmc_step_size: float = 0.5      # initial proposal scale (adapts)
+    mcmc_target_accept: float = 0.5
     # electron-electron repulsion on/off; False + a protonless 'box*' system
     # gives free fermions with an analytic exact energy (physics/exact.py)
     interactions: bool = True
@@ -148,8 +156,41 @@ class VMCTrainer:
                 psi, self.h_fn, sample, self.optimizer, c.batch_size,
                 c.window, self.mesh, estimator=c.estimator)
 
+        self.mcmc_state = None
+        if c.sampler == 'metropolis':
+            if c.n_space_dimension != 1:
+                raise NotImplementedError(
+                    "metropolis sampler assumes the 1D sorted-sector "
+                    "quotient; use sampler='ancestral' for n_space_dimension>1")
+            if self.mesh is not None:
+                from waveflow_tpu.parallel import make_sharded_mcmc_window
+                self.mcmc_init, self.mcmc_window_jit = \
+                    make_sharded_mcmc_window(
+                        psi, self.h_fn, log_pdf, self.optimizer, c.window,
+                        c.box_length, self.mesh, n_sweeps=c.mcmc_sweeps,
+                        target_accept=c.mcmc_target_accept,
+                        estimator=c.estimator)
+            else:
+                from waveflow_tpu.vmc.metropolis import make_mcmc_train_window
+                self.mcmc_init, mcmc_window = make_mcmc_train_window(
+                    psi, self.h_fn, log_pdf, self.optimizer, c.window,
+                    c.box_length, n_sweeps=c.mcmc_sweeps,
+                    target_accept=c.mcmc_target_accept,
+                    estimator=c.estimator, energy_clip=c.energy_clip)
+                self.mcmc_window_jit = jax.jit(mcmc_window)
+        elif c.sampler != 'ancestral':
+            raise ValueError(f"unknown sampler {c.sampler!r}")
+
         self.epoch = 0
         self.losses: list = []
+        self.walker_keys = None   # per-device PRNG keys in data_parallel mode
+
+    def _init_mcmc_state(self):
+        """Warm-start Metropolis walkers with one exact ancestral draw."""
+        self.rng, k = jax.random.split(self.rng)
+        positions = self.sample_jit(k, self.params, self.config.batch_size)
+        return self.mcmc_init(self.params, positions,
+                              step_size=self.config.mcmc_step_size)
 
     # ---- checkpointing ----------------------------------------------------
 
@@ -169,6 +210,12 @@ class VMCTrainer:
                 'opt_state': jax.device_get(self.opt_state),
                 'epoch': self.epoch,
                 'rng': jax.device_get(self.rng),
+                # full sampler state so resume is exact in every mode:
+                # per-device keys (data_parallel) and warm MCMC walkers
+                'walker_keys': (jax.device_get(self.walker_keys)
+                                if self.walker_keys is not None else None),
+                'mcmc_state': (jax.device_get(self.mcmc_state)
+                               if self.mcmc_state is not None else None),
             }, f)
         np.save(path / 'loss.npy', np.asarray(self.losses))
         np.save(path / 'energies.npy', np.asarray(self.losses)[:, None]
@@ -184,6 +231,12 @@ class VMCTrainer:
         self.opt_state = jax.device_put(state['opt_state'])
         self.epoch = state['epoch']
         self.rng = jax.device_put(state['rng'])
+        if state.get('walker_keys') is not None:
+            self.walker_keys = jax.device_put(state['walker_keys'])
+        if state.get('mcmc_state') is not None:
+            from waveflow_tpu.vmc.metropolis import MetropolisState
+            self.mcmc_state = MetropolisState(
+                *(jax.device_put(x) for x in state['mcmc_state']))
         loss_path = Path(save_dir) / 'loss.npy'
         if loss_path.exists():
             self.losses = np.load(loss_path).tolist()
@@ -219,18 +272,39 @@ class VMCTrainer:
             # fast path: fused on-device windows (one dispatch per
             # c.window epochs — see make_train_window)
             n_windows, rem = divmod(num_epochs, c.window)
+            # checkpoint cadence aligned to the window grid so traces and
+            # checkpoints land on comparable epochs regardless of log_every
+            log_stride = max(1, round(c.log_every / c.window))
+            use_mcmc = c.sampler == 'metropolis'
+            if use_mcmc and self.mcmc_state is None:
+                self.mcmc_state = self._init_mcmc_state()
             if self.mesh is not None:
                 n_dev = self.mesh.devices.size
-                keys = jax.random.split(self.rng, n_dev)
+                if self.walker_keys is None:
+                    # advance the host stream so checkpoints after this
+                    # point never replay the stream that seeded the keys
+                    self.rng, sub = jax.random.split(self.rng)
+                    self.walker_keys = jax.random.split(sub, n_dev)
             good_state = None
             for w in range(n_windows):
                 if c.divergence_recovery and (w % 10 == 0):
-                    good_state = (jax.device_get(self.params),
-                                  jax.device_get(self.opt_state))
-                if self.mesh is not None:
-                    (self.params, self.opt_state, keys, baseline,
+                    good_state = jax.device_get(
+                        (self.params, self.opt_state, self.mcmc_state))
+                if use_mcmc and self.mesh is not None:
+                    (self.params, self.opt_state, self.walker_keys, baseline,
+                     losses, self.mcmc_state) = self.mcmc_window_jit(
+                        self.params, self.opt_state, self.walker_keys,
+                        baseline, self.mcmc_state)
+                elif use_mcmc:
+                    (self.params, self.opt_state, self.rng, baseline,
+                     losses, self.mcmc_state) = self.mcmc_window_jit(
+                        self.params, self.opt_state, self.rng, baseline,
+                        self.mcmc_state)
+                elif self.mesh is not None:
+                    (self.params, self.opt_state, self.walker_keys, baseline,
                      losses) = self.sharded_window_jit(
-                        self.params, self.opt_state, keys, baseline)
+                        self.params, self.opt_state, self.walker_keys,
+                        baseline)
                 else:
                     (self.params, self.opt_state, self.rng, baseline,
                      losses) = self.window_jit(self.params, self.opt_state,
@@ -242,16 +316,17 @@ class VMCTrainer:
                         print(f"window {w}: non-finite losses — restoring "
                               "last good state", flush=True)
                     if good_state is not None:
-                        self.params = jax.device_put(good_state[0])
-                        self.opt_state = jax.device_put(good_state[1])
+                        (self.params, self.opt_state,
+                         self.mcmc_state) = jax.device_put(good_state)
                     self.rng = jax.random.fold_in(self.rng, w)
                     if self.mesh is not None:
-                        keys = jax.random.split(self.rng, n_dev)
+                        self.rng, sub = jax.random.split(self.rng)
+                        self.walker_keys = jax.random.split(sub, n_dev)
                     baseline = jnp.zeros(())
                     continue
                 self.losses.extend(np.asarray(losses).tolist())
                 self.epoch = start + (w + 1) * c.window
-                if self.epoch % c.log_every < c.window:
+                if (w + 1) % log_stride == 0 or w == n_windows - 1:
                     self.save_checkpoint(save_dir)
                     if verbose:
                         rate = (self.epoch - start) / (time.time() - t0)
@@ -259,6 +334,9 @@ class VMCTrainer:
                               f"{self.losses[-1]:.3f} | {rate:.1f} steps/s",
                               flush=True)
             num_epochs = rem
+            # remainder epochs (not a whole window) fall through to the
+            # per-epoch loop below, which always draws exact ancestral
+            # walkers — valid for either sampler (exact draws from |ψ|²)
 
         for epoch in range(self.epoch + 1, self.epoch + num_epochs + 1):
             self.epoch = epoch
