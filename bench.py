@@ -2,15 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no throughput numbers (BASELINE.md) — the baseline
-for vs_baseline is the reference's own algorithmic design measured on this
-hardware: per-sample rejection `while_loop` sampling plus dense-Hessian
-Laplacians, versus this framework's batched inverse-CDF sampling plus fused
-HVP Laplacians.  vs_baseline > 1 means faster than the reference design.
+The reference publishes no throughput numbers (BASELINE.md).  vs_baseline
+is anchored against the ACTUAL reference code measured once on this same
+chip (benchmarks/reference_anchor.py writes results/reference_anchor.json:
+the real /root/reference vqmc sample + train_step_efficient per-epoch
+loop).  If the anchor file is absent, falls back to this repo's
+reimplementation of the reference's algorithmic design (dense-Hessian
+Laplacian + 3rd-derivative estimator, same fused windowing).
+vs_baseline > 1 means faster than the reference.
 """
 
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -64,19 +68,29 @@ def main():
     dt, loss = time_windows(params, opt_state, window_jit, window)
     walker_steps_per_sec = batch_size / dt
 
-    # reference-design proxy: the reference's estimator (3rd derivatives
-    # through the flow) with its dense-Hessian Laplacian (physics.py:50-52),
-    # same model/batch, same fused windowing so only the estimator design
-    # differs
-    params_d, opt_d, window_d, _ = build(batch_size, laplacian_mode='dense',
-                                         estimator='reference')
-    dt_dense, _ = time_windows(params_d, opt_d, window_d, window, n_iters=3)
-    vs_baseline = dt_dense / dt
+    anchor_path = Path(__file__).parent / "results" / "reference_anchor.json"
+    if anchor_path.exists():
+        # real-reference anchor: the actual /root/reference code timed once
+        # on this chip at the same flagship config (see module docstring)
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        vs_baseline = walker_steps_per_sec / anchor["walkers_per_sec"]
+        unit = ("walkers/s (He-1d L=10, batch 256, sample+train epoch; "
+                "baseline = actual reference code on this chip)")
+    else:
+        # fallback: reference-design proxy (dense-Hessian Laplacian +
+        # 3rd-derivative estimator, same fused windowing)
+        params_d, opt_d, window_d, _ = build(
+            batch_size, laplacian_mode='dense', estimator='reference')
+        dt_dense, _ = time_windows(params_d, opt_d, window_d, window,
+                                   n_iters=3)
+        vs_baseline = dt_dense / dt
+        unit = "walkers/s (He-1d L=10, batch 256, sample+train epoch)"
 
     print(json.dumps({
         "metric": "vmc_walker_steps_per_sec",
         "value": round(walker_steps_per_sec, 1),
-        "unit": "walkers/s (He-1d L=10, batch 256, sample+train epoch)",
+        "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
     }))
 

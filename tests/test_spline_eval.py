@@ -244,3 +244,53 @@ def test_onehot_matmul_matches_take():
     a = np.asarray(onehot_matmul_eval(ev.tables[0], w, x))
     b = np.asarray(ev(w, x))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_node_bisect_inverse_matches_dense(i_setup):
+    """The bandwidth-lean node-bisection inverse is bit-for-bit the same
+    algorithm as the dense form (same bracketing cell, same linear solve)."""
+    from waveflow_tpu.ops import exact_node_bisect_inverse, exact_table_inverse
+    ev, w, x = i_setup
+    y = ev(w, x)
+    xd = np.asarray(exact_table_inverse(ev, w, y))
+    xb = np.asarray(exact_node_bisect_inverse(ev, w, y))
+    np.testing.assert_allclose(xb, xd, atol=2e-6)
+    np.testing.assert_allclose(xb, np.asarray(x), atol=1e-5)
+
+
+def test_locate_in_masses_two_level_matches_flat(monkeypatch):
+    """Force the two-level CDF path and compare cell/residual against the
+    flat cumsum+compare path on the same masses."""
+    import waveflow_tpu.ops.sampling as S
+    rng = np.random.default_rng(3)
+    masses = jnp.asarray(rng.uniform(0.0, 1.0, size=(128, 1999))
+                         .astype(np.float32))
+    u = jnp.asarray(rng.uniform(0.0, 1.0, size=128).astype(np.float32))
+    j_flat, q_flat = S._locate_in_masses(masses, u)
+    monkeypatch.setattr(S, 'TWO_LEVEL_MIN_ELEMENTS', 0)
+    j_two, q_two = S._locate_in_masses(masses, u)
+    # cell indices agree except possibly at exact cell boundaries (float
+    # associativity of the two summation orders); residuals stay tiny there
+    same = np.asarray(j_flat) == np.asarray(j_two)
+    assert same.mean() > 0.98
+    np.testing.assert_allclose(np.asarray(q_two)[same],
+                               np.asarray(q_flat)[same], rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_samplers_two_level_matches_flat(monkeypatch):
+    """End-to-end: both samplers produce (nearly) identical draws through
+    the flat and two-level locate paths given the same uniforms."""
+    import waveflow_tpu.ops.sampling as S
+    from waveflow_tpu.ops import build_bspline_tables, make_evaluator
+    tabs = build_bspline_tables(5, 12, n_mesh=2000)
+    ev = make_evaluator(tabs, use_ob=True)
+    rng = np.random.default_rng(4)
+    B = 256
+    w = jnp.asarray(rng.normal(size=(B, ev.n_bases)).astype(np.float32))
+    w = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+    u = jnp.asarray(rng.uniform(size=B).astype(np.float32))
+    x_flat = np.asarray(S.sample_squared_amplitude(ev, w, u))
+    monkeypatch.setattr(S, 'TWO_LEVEL_MIN_ELEMENTS', 0)
+    x_two = np.asarray(S.sample_squared_amplitude(ev, w, u))
+    assert (np.abs(x_two - x_flat) < 1e-3).mean() > 0.98

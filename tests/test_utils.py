@@ -72,3 +72,36 @@ def test_figures_smoke(tmp_path):
     assert (tmp_path / 'w.png').exists()
     assert (tmp_path / 'p.png').exists()
     assert (tmp_path / 'e.png').exists()
+
+
+def test_figures_multi_and_comparison(tmp_path):
+    from waveflow_tpu.utils.figures import (
+        plot_two_particle_box_comparison, plot_wavefunction_2d_multi,
+        two_particle_box_analytic,
+    )
+    grid, x = two_particle_box_analytic(5.0, 60)
+    # analytic oracle sanity: antisymmetric and zero on the diagonal
+    np.testing.assert_allclose(grid, -grid.T, atol=1e-12)
+    np.testing.assert_allclose(np.diag(grid), 0.0, atol=1e-12)
+    plot_wavefunction_2d_multi({'a': grid.ravel(), 'b': -grid.ravel()},
+                               5.0, str(tmp_path / 'multi.png'))
+    plot_two_particle_box_comparison(grid.ravel(), 5.0,
+                                     str(tmp_path / 'cmp.png'))
+    assert (tmp_path / 'multi.png').exists()
+    assert (tmp_path / 'cmp.png').exists()
+
+
+def test_create_vmc_report(tmp_path):
+    from waveflow_tpu.utils.figures import create_vmc_report
+    d = tmp_path / 'run'
+    (d / 'outputs' / 'wavefunctions_2d').mkdir(parents=True)
+    (d / 'outputs' / 'density_1e').mkdir(parents=True)
+    np.save(d / 'loss.npy', np.random.randn(500))
+    np.save(d / 'outputs' / 'wavefunctions_2d' / 'values_epoch100.npy',
+            np.random.randn(400))
+    np.save(d / 'outputs' / 'density_1e' / 'random_values_epoch100.npy',
+            np.random.randn(50))
+    np.save(d / 'outputs' / 'density_1e' / 'random_coord_epoch100.npy',
+            np.stack([np.linspace(-5, 5, 50), np.zeros(50)], -1))
+    create_vmc_report(str(d), str(tmp_path / 'report.png'), 5.0)
+    assert (tmp_path / 'report.png').exists()

@@ -208,3 +208,60 @@ def test_vmc_data_parallel_rng_advances_and_checkpoints():
     t2 = VMCTrainer(cfg)
     assert t2.load_checkpoint('/tmp/vmc_dp_rng_ckpt')
     np.testing.assert_array_equal(np.asarray(t2.walker_keys), keys_after)
+
+
+def test_sr_matrix_vector_product_matches_explicit():
+    """The matrix-free S·v inside the SR step equals the explicit
+    covariance of per-sample score vectors (tiny model, dense check)."""
+    from jax.flatten_util import ravel_pytree
+
+    def psi(params, x):
+        return jnp.exp(-(params['a'] * x[:, 0] ** 2 +
+                         params['b'] * x[:, 1] ** 2)) + params['c']
+
+    params = {'a': jnp.asarray(0.5), 'b': jnp.asarray(0.3),
+              'c': jnp.asarray(0.1)}
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+    eps = 1e-8
+    log_abs = lambda p, xx: jnp.log(jnp.abs(psi(p, xx)) + eps)
+
+    # explicit O matrix (B, n_params)
+    flat0, unravel = ravel_pytree(params)
+    def log_abs_flat(theta, xx):
+        return log_abs(unravel(theta), xx)
+    O = jax.jacrev(log_abs_flat)(flat0, x)       # (B, 3)
+    S = jnp.cov(O.T, bias=True)                  # covariance E[OO]-E[O]E[O]
+    damping = 1e-3
+    v = jnp.asarray([0.2, -1.0, 0.7])
+    expect = S @ v + damping * v
+
+    # matrix-free product, replicated from vmc/sr.py's s_mv
+    B = x.shape[0]
+    _, vjp_fn = jax.vjp(lambda p: log_abs(p, x), params)
+    mean_vjp = lambda ct: vjp_fn(ct / B)[0]
+    o_bar = mean_vjp(jnp.ones(B))
+    v_tree = unravel(v)
+    _, ov = jax.jvp(lambda p: log_abs(p, x), (params,), (v_tree,))
+    first = mean_vjp(ov)
+    obar_dot_v = sum(jnp.vdot(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(o_bar), jax.tree_util.tree_leaves(v_tree)))
+    got_tree = jax.tree_util.tree_map(
+        lambda f, ob, vv: f - ob * obar_dot_v + damping * vv,
+        first, o_bar, v_tree)
+    got, _ = ravel_pytree(got_tree)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_vmc_sr_optimizer_trains():
+    """optimizer='sr' (stochastic reconfiguration): finite losses and a
+    descending energy on the small He config."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, optimizer='sr', learning_rate=0.05,
+                    sr_cg_iters=10, save_dir='/tmp/vmc_sr_test')
+    t = VMCTrainer(cfg)
+    losses = np.asarray(t.train(num_epochs=60, verbose=False))
+    assert np.isfinite(losses).all()
+    assert losses[-20:].mean() < losses[:20].mean() + 0.5

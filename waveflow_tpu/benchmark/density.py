@@ -21,17 +21,26 @@ from waveflow_tpu.bijections import (
 )
 from waveflow_tpu.models import Flow, get_model
 from waveflow_tpu.models.priors import Normal
-from waveflow_tpu.benchmark.metrics import kde_metrics, reconstruction_distance
+from waveflow_tpu.benchmark.metrics import (
+    held_out_log_likelihood, kde_metrics, reconstruction_distance,
+)
 
 
 def get_benchmark_model(model_name: str = 'MFlow', spline_reg: float = 0.02,
                         n_flow_layers: int = 3, spline_degree: int = 5,
-                        n_knots: int = 23, n_mesh_points: int = 2000):
-    """Model zoo of the reference benchmark (benchmark_tests.py:50-78)."""
+                        n_knots: int = 23, n_mesh_points: int = 2000,
+                        prior_spline_degree: int = 3,
+                        prior_n_knots: int = 15):
+    """Model zoo of the reference benchmark (benchmark_tests.py:50-78).
+
+    NOTE the reference's MFlow keeps its M-spline *prior* fixed at degree 3
+    with 15 knots regardless of the I-spline settings
+    (benchmark_tests.py:51-52 defaults, never overridden by its runner) —
+    mirrored here for strict parity of the published rows."""
     if model_name == 'MFlow':
-        return get_model(base_spline_degree=spline_degree,
+        return get_model(base_spline_degree=prior_spline_degree,
                          i_spline_degree=spline_degree,
-                         n_prior_internal_knots=n_knots,
+                         n_prior_internal_knots=prior_n_knots,
                          n_i_internal_knots=n_knots,
                          i_spline_reg=spline_reg,
                          n_flow_layers=n_flow_layers,
@@ -68,8 +77,12 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
                         spline_degree: int = 5, n_knots: int = 23,
                         log_every: int = 500, save_dir: str | None = None,
                         n_model_sample: int = 5000, seed: int = 5,
-                        n_mesh_points: int = 2000, verbose: bool = True):
-    """MLE-train a density model; returns (params, log_pdf, sample, history)."""
+                        n_mesh_points: int = 2000, verbose: bool = True,
+                        X_test: np.ndarray | None = None):
+    """MLE-train a density model; returns (params, log_pdf, sample, history).
+
+    With ``X_test``, each metric checkpoint also records the held-out mean
+    log-likelihood (history['test_ll'] / test_ll.txt)."""
     rng = jax.random.PRNGKey(seed)
     rng, flow_rng = jax.random.split(rng)
     init_fun = get_benchmark_model(model_name, spline_reg, n_flow_layers,
@@ -110,7 +123,8 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
     sample_jit = jax.jit(sample, static_argnames=('num_samples',
                                                   'return_original_samples'))
 
-    history = {'losses': [], 'kl': [], 'hellinger': [], 'reconstruction': []}
+    history = {'losses': [], 'kl': [], 'hellinger': [], 'reconstruction': [],
+               'test_ll': []}
     epoch = 0
     while epoch < num_epochs:
         params, opt_state, rng, losses = run_block(params, opt_state, rng)
@@ -127,9 +141,14 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
             history['kl'].append(kl)
             history['hellinger'].append(hell)
             history['reconstruction'].append(recon)
+            msg = (f"epoch {epoch} | loss {history['losses'][-1]:.4f} | "
+                   f"KL {kl:.4f} | H² {hell:.4f} | recon {recon:.2e}")
+            if X_test is not None:
+                tll = held_out_log_likelihood(log_pdf, params, X_test)
+                history['test_ll'].append(tll)
+                msg += f" | test-LL {tll:.4f}"
             if verbose:
-                print(f"epoch {epoch} | loss {history['losses'][-1]:.4f} | KL {kl:.4f} | "
-                      f"H² {hell:.4f} | recon {recon:.2e}", flush=True)
+                print(msg, flush=True)
             if save_dir:
                 path = Path(save_dir)
                 path.mkdir(parents=True, exist_ok=True)
@@ -139,4 +158,6 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
                            history['hellinger'])
                 np.savetxt(path / 'reconstruction_distances.txt',
                            history['reconstruction'])
+                if history['test_ll']:
+                    np.savetxt(path / 'test_ll.txt', history['test_ll'])
     return params, log_pdf, sample, history

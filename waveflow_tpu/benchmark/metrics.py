@@ -40,6 +40,27 @@ def kde_metrics(log_pdf, params, model_samples: np.ndarray,
     return float(kl), float(hellinger)
 
 
+def held_out_log_likelihood(log_pdf, params, X_test: np.ndarray) -> float:
+    """Mean log-likelihood on held-out data — the fit-quality metric the
+    KDE self-consistency scores cannot provide (they compare the model
+    against a KDE of its *own* samples, so a sharper fitted density is
+    penalized by the fixed bandwidth rather than rewarded)."""
+    import jax
+    import jax.numpy as jnp
+    return float(np.asarray(
+        jax.jit(log_pdf)(params, jnp.asarray(X_test))).mean())
+
+
+def kde_bandwidth_sweep(log_pdf, params, model_samples: np.ndarray,
+                        bandwidths=(0.005, 0.01, 0.02, 0.05),
+                        ngrid: int = 300):
+    """kde_metrics at several bandwidths: quantifies how much of the
+    KDE-KL/Hellinger score is bandwidth artifact vs model mismatch."""
+    return {float(bw): kde_metrics(log_pdf, params, model_samples,
+                                   ngrid=ngrid, bandwidth=bw)
+            for bw in bandwidths}
+
+
 def reconstruction_distance(log_pdf, params, model_samples,
                             original_samples) -> float:
     """Mean distance between prior samples and their round-trip

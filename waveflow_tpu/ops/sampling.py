@@ -22,10 +22,19 @@ shape, and one fused kernel per batch instead of a walker-serial loop.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from waveflow_tpu.ops.spline_eval import SplineEvaluator
+
+# above this many (batch x n_cells) elements the flat cumsum+compare CDF
+# locate is HBM-bound (XLA's scan-based cumsum makes ~log2(P) full passes
+# over the row block); the two-level block decomposition cuts the passes
+# to O(1) full-width + O(sqrt P) narrow ones
+TWO_LEVEL_MIN_ELEMENTS = 2 ** 23
+COARSE_BLOCKS = 64
 
 
 def _searchsorted_cells(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -45,6 +54,53 @@ def _searchsorted_cells(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(idx - 1, 0, P - 2)
 
 
+def _cdf0(masses: jnp.ndarray) -> jnp.ndarray:
+    """Prefix-sum CDF with a leading zero: (..., M) -> (..., M+1)."""
+    return jnp.concatenate(
+        [jnp.zeros_like(masses[..., :1]), jnp.cumsum(masses, axis=-1)],
+        axis=-1)
+
+
+def _locate_in_masses(masses: jnp.ndarray, u: jnp.ndarray):
+    """Sample a cell from per-cell masses: returns (j, q) with j the cell
+    index of the draw u∈[0,1) against the normalized mass CDF and q the
+    residual mass inside cell j.
+
+    Two code paths, chosen by static problem size: the flat cumsum+compare
+    (fewest kernels, wins in the launch-bound small-batch regime) and a
+    two-level block decomposition (coarse block sums -> narrow in-block
+    scan; ~5x less HBM traffic at the default 2000-point mesh, wins once
+    the walker batch makes the step bandwidth-bound).
+    """
+    M = masses.shape[-1]
+    if math.prod(masses.shape) <= TWO_LEVEL_MIN_ELEMENTS:
+        cdf = _cdf0(masses)
+        target = u * cdf[..., -1]
+        j = _searchsorted_cells(cdf, target)
+        q = target - jnp.take_along_axis(cdf, j[..., None], axis=-1)[..., 0]
+        return j, q
+
+    C = COARSE_BLOCKS
+    K = -(-M // C)
+    pad = C * K - M
+    if pad:
+        masses = jnp.concatenate(
+            [masses, jnp.zeros(masses.shape[:-1] + (pad,), masses.dtype)],
+            axis=-1)
+    blocks = masses.reshape(masses.shape[:-1] + (C, K))
+    bcdf = _cdf0(blocks.sum(-1))                       # (..., C+1)
+    target = u * bcdf[..., -1]
+    c = jnp.clip(jnp.sum(bcdf <= target[..., None], axis=-1) - 1, 0, C - 1)
+    q1 = target - jnp.take_along_axis(bcdf, c[..., None], axis=-1)[..., 0]
+    fine = jnp.take_along_axis(
+        blocks, c[..., None, None], axis=-2)[..., 0, :]  # (..., K)
+    fcdf = _cdf0(fine)                                  # (..., K+1)
+    jf = jnp.clip(jnp.sum(fcdf <= q1[..., None], axis=-1) - 1, 0, K - 1)
+    q = q1 - jnp.take_along_axis(fcdf, jf[..., None], axis=-1)[..., 0]
+    j = jnp.clip(c * K + jf, 0, M - 1)
+    return j, q
+
+
 def sample_linear_density(evaluator: SplineEvaluator,
                           coeffs: jnp.ndarray,
                           u: jnp.ndarray) -> jnp.ndarray:
@@ -60,12 +116,7 @@ def sample_linear_density(evaluator: SplineEvaluator,
     d_l = dens[..., :-1]
     d_r = dens[..., 1:]
     masses = 0.5 * (d_l + d_r) * h                               # (B, P-1)
-    cdf = jnp.concatenate(
-        [jnp.zeros_like(masses[..., :1]), jnp.cumsum(masses, axis=-1)], axis=-1)
-    total = cdf[..., -1:]
-    target = u * total[..., 0]
-    j = _searchsorted_cells(cdf, target)
-    q = target - jnp.take_along_axis(cdf, j[..., None], axis=-1)[..., 0]
+    j, q = _locate_in_masses(masses, u)
     a = jnp.take_along_axis(d_l, j[..., None], axis=-1)[..., 0]
     b = jnp.take_along_axis(d_r, j[..., None], axis=-1)[..., 0] - a
     # solve h*(a s + b s^2/2) = q for s in [0,1]
@@ -100,12 +151,7 @@ def sample_squared_amplitude(evaluator: SplineEvaluator,
     p_r = psi[..., 1:]
     delta = p_r - p_l
     masses = h * (p_l * p_l + p_l * delta + delta * delta / 3.0)
-    cdf = jnp.concatenate(
-        [jnp.zeros_like(masses[..., :1]), jnp.cumsum(masses, axis=-1)], axis=-1)
-    total = cdf[..., -1:]
-    target = u * total[..., 0]
-    j = _searchsorted_cells(cdf, target)
-    q = target - jnp.take_along_axis(cdf, j[..., None], axis=-1)[..., 0]
+    j, q = _locate_in_masses(masses, u)
     a = jnp.take_along_axis(p_l, j[..., None], axis=-1)[..., 0]
     d = jnp.take_along_axis(delta, j[..., None], axis=-1)[..., 0]
 

@@ -190,6 +190,18 @@ class SplineEvaluator:
         """
         return self._fns[d](coeffs, x)
 
+    def at_nodes(self, coeffs: jnp.ndarray, idx: jnp.ndarray,
+                 d: int = 0) -> jnp.ndarray:
+        """Exact table values at mesh-node indices: sum_i c_i T_i^{(d)}[idx].
+
+        One row gather + dot — the building block of the node-bisection
+        inverse (ops/inverse.py), which replaces the (batch, n_mesh) dense
+        materialization that dominates HBM traffic at large walker counts.
+        coeffs: (..., n_bases), idx: (...,) int -> (...,)
+        """
+        rows = jnp.take(self.tables[d], idx, axis=0)    # (..., n_bases)
+        return jnp.sum(rows * coeffs, axis=-1)
+
     def density_on_mesh(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         """Evaluate sum_i c_i T_i at *all* mesh points: (..., n_mesh).
 

@@ -1,0 +1,109 @@
+"""Stochastic reconfiguration (SR / natural-gradient) VMC updates.
+
+Named by the BASELINE.json north star ("stochastic-reconfiguration/ADAM
+updates") and absent from the reference (which only has ADAM-family
+updates).  SR preconditions the energy gradient with the inverse of the
+quantum geometric tensor
+
+    S_kl = E[O_k O_l] - E[O_k] E[O_l],      O_k = ∂_k log|ψ|,
+
+i.e. natural gradient in the |ψ|² distribution geometry.  TPU-first
+implementation: S is never materialized — matrix-free CG where each
+S·v product costs one jvp + one vjp of log|ψ| over the walker batch
+(pytree-native, works at any parameter count), fused into the same
+scan-window machinery as the ADAM path.
+
+Gradient estimator: the same median±MAD-clipped centered score weights as
+estimators.make_loss_fn('clipped_score'):  g = 2 E[(E_L^clip − Ē) O].
+Under a walker-sharded mesh pass ``pmean_axis``: every batch expectation
+(g, Ō, and each CG matrix-vector product) is pmean-reduced, so all devices
+run an identical CG on the global-batch geometry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from waveflow_tpu.vmc.estimators import PSI_EPS, _safe_psi
+
+
+def make_sr_train_step(psi, h_fn, learning_rate: float,
+                       damping: float = 1e-3, cg_iters: int = 20,
+                       clip_scale: float = 5.0, pmean_axis=None):
+    """step(params, opt_state, batch, baseline) -> (params, opt_state, loss)
+    with opt_state = () — same contract as estimators.make_train_step, so
+    the fused-window scan and the trainer work unchanged."""
+
+    def _pmean(x):
+        return jax.lax.pmean(x, pmean_axis) if pmean_axis is not None else x
+
+    def log_abs_psi(params, batch):
+        return jnp.log(jnp.abs(psi(params, batch)) + PSI_EPS)
+
+    def step(params, opt_state, batch, baseline):
+        B = batch.shape[0]
+        psi_val = psi(params, batch)
+        energies = h_fn(params, batch)[:, 0]
+        e_loc = energies / _safe_psi(psi_val)
+
+        # batch-adaptive clip over the global walker population
+        e_stat = (jax.lax.all_gather(e_loc, pmean_axis, tiled=True)
+                  if pmean_axis is not None else e_loc)
+        center = jnp.median(e_stat)
+        mad = jnp.mean(jnp.abs(e_stat - center))
+        e_c = jnp.clip(e_loc, center - clip_scale * mad,
+                       center + clip_scale * mad)
+        e_mean = _pmean(jnp.mean(e_c))
+        w = e_c - e_mean                        # centered clipped energies
+
+        _, vjp_fn = jax.vjp(lambda p: log_abs_psi(p, batch), params)
+
+        def batch_mean_vjp(cotangent):
+            out = vjp_fn(cotangent / B)[0]
+            return jax.tree_util.tree_map(_pmean, out)
+
+        g = batch_mean_vjp(2.0 * w)             # 2 E[(E_L - Ē) O]
+        o_bar = batch_mean_vjp(jnp.ones(B))     # E[O]
+
+        def s_mv(v):
+            # (O·v) per sample via one jvp, then E[O (O·v)] via one vjp
+            _, ov = jax.jvp(lambda p: log_abs_psi(p, batch), (params,), (v,))
+            first = batch_mean_vjp(ov)
+            obar_dot_v = sum(
+                jnp.vdot(a, b) for a, b in zip(
+                    jax.tree_util.tree_leaves(o_bar),
+                    jax.tree_util.tree_leaves(v)))
+            return jax.tree_util.tree_map(
+                lambda f, ob, vv: f - ob * obar_dot_v + damping * vv,
+                first, o_bar, v)
+
+        delta, _ = jax.scipy.sparse.linalg.cg(s_mv, g, maxiter=cg_iters)
+        params = jax.tree_util.tree_map(
+            lambda p, d: p - learning_rate * d, params, delta)
+        return params, opt_state, e_mean
+
+    return step
+
+
+def make_sr_train_window(psi, h_fn, sample_fn, learning_rate: float,
+                         batch_size: int, window: int,
+                         damping: float = 1e-3, cg_iters: int = 20,
+                         pmean_axis=None):
+    """Fused `window`-epoch SR loop (same shape as make_train_window)."""
+    step = make_sr_train_step(psi, h_fn, learning_rate, damping=damping,
+                              cg_iters=cg_iters, pmean_axis=pmean_axis)
+
+    def run_window(params, opt_state, rng, baseline):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            batch = sample_fn(k, params, batch_size)
+            params, opt_state, loss = step(params, opt_state, batch, baseline)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=window)
+        return params, opt_state, rng, losses.mean(), losses
+
+    return run_window

@@ -72,6 +72,12 @@ class VMCConfig:
     mcmc_sweeps: int = 10            # Metropolis sweeps between updates
     mcmc_step_size: float = 0.5      # initial proposal scale (adapts)
     mcmc_target_accept: float = 0.5
+    # parameter update: 'adam' (optax, the reference's family) or 'sr'
+    # (stochastic reconfiguration / natural gradient, vmc/sr.py — the
+    # north-star's named second optimizer; matrix-free CG, no optax state)
+    optimizer: str = 'adam'
+    sr_damping: float = 1e-3
+    sr_cg_iters: int = 20
     # electron-electron repulsion on/off; False + a protonless 'box*' system
     # gives free fermions with an analytic exact energy (physics/exact.py)
     interactions: bool = True
@@ -132,21 +138,39 @@ class VMCTrainer:
             n_space_dimensions=c.n_space_dimension, eps=0.0,
             interactions=c.interactions)
 
-        if c.grad_clip is not None:
-            self.optimizer = optax.chain(
-                optax.clip_by_global_norm(c.grad_clip),
-                optax.adam(c.learning_rate))
-        else:
-            self.optimizer = optax.adam(c.learning_rate)
-        self.opt_state = self.optimizer.init(params)
         self.sample_jit = jax.jit(sample, static_argnums=(2,))
-        self.step_jit = jax.jit(
-            make_train_step(psi, self.h_fn, self.optimizer,
-                            estimator=c.estimator,
-                            energy_clip=c.energy_clip))
-        self.window_jit = jax.jit(make_train_window(
-            psi, self.h_fn, sample, self.optimizer, c.batch_size, c.window,
-            estimator=c.estimator, energy_clip=c.energy_clip))
+        if c.optimizer == 'sr':
+            if c.data_parallel or c.sampler == 'metropolis':
+                raise NotImplementedError(
+                    "optimizer='sr' currently supports the single-device "
+                    "ancestral path; use optimizer='adam' otherwise")
+            from waveflow_tpu.vmc.sr import (make_sr_train_step,
+                                             make_sr_train_window)
+            self.optimizer = None
+            self.opt_state = ()
+            self.step_jit = jax.jit(make_sr_train_step(
+                psi, self.h_fn, c.learning_rate, damping=c.sr_damping,
+                cg_iters=c.sr_cg_iters))
+            self.window_jit = jax.jit(make_sr_train_window(
+                psi, self.h_fn, sample, c.learning_rate, c.batch_size,
+                c.window, damping=c.sr_damping, cg_iters=c.sr_cg_iters))
+        elif c.optimizer == 'adam':
+            if c.grad_clip is not None:
+                self.optimizer = optax.chain(
+                    optax.clip_by_global_norm(c.grad_clip),
+                    optax.adam(c.learning_rate))
+            else:
+                self.optimizer = optax.adam(c.learning_rate)
+            self.opt_state = self.optimizer.init(params)
+            self.step_jit = jax.jit(
+                make_train_step(psi, self.h_fn, self.optimizer,
+                                estimator=c.estimator,
+                                energy_clip=c.energy_clip))
+            self.window_jit = jax.jit(make_train_window(
+                psi, self.h_fn, sample, self.optimizer, c.batch_size,
+                c.window, estimator=c.estimator, energy_clip=c.energy_clip))
+        else:
+            raise ValueError(f"unknown optimizer {c.optimizer!r}")
         self.mesh = None
         if c.data_parallel:
             from waveflow_tpu.parallel import (make_sharded_train_window,
