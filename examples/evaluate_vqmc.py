@@ -15,7 +15,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from waveflow_tpu.physics import (exact_free_fermion_energy,
-                                  exact_ground_state_1d, system_catalogue)
+                                  exact_ground_state_1d,
+                                  exact_ground_state_2d_1e, system_catalogue)
 from waveflow_tpu.utils import clipped_energy_estimate, median_energy_estimate
 
 
@@ -29,6 +30,9 @@ def main():
     p.add_argument('--no-interactions', action='store_true',
                    help='compare against the analytic free-fermion energy '
                         '(protonless box systems, any n)')
+    p.add_argument('--n-space-dimension', type=int, default=1,
+                   help='2 selects the 2D grid-ED oracle (1-electron '
+                        'systems)')
     args = p.parse_args()
 
     trace = np.load(Path(args.save_dir) / 'loss.npy')
@@ -36,8 +40,13 @@ def main():
         trace, tail_fraction=args.tail_fraction)
     mean, stderr = clipped_energy_estimate(trace, clip=args.clip,
                                            tail_fraction=args.tail_fraction)
-    protons, n_el = system_catalogue[1][args.system]
-    if args.no_interactions:
+    protons, n_el = system_catalogue[args.n_space_dimension][args.system]
+    if args.n_space_dimension == 2:
+        if n_el != 1:
+            raise SystemExit('the 2D oracle covers 1-electron systems')
+        exact = exact_ground_state_2d_1e(np.asarray(protons),
+                                         args.box_length)[0]
+    elif args.no_interactions:
         if np.asarray(protons).size:
             raise SystemExit('--no-interactions oracle requires a protonless '
                              'box system (box2/box3)')

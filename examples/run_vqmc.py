@@ -19,6 +19,10 @@ from waveflow_tpu.vmc import VMCConfig, VMCTrainer
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--system', default='He')
+    p.add_argument('--n-space-dimension', type=int, default=1,
+                   help='2 trains single-electron systems in the 2D box '
+                        '(independent coordinate map, Euclidean '
+                        'soft-Coulomb)')
     p.add_argument('--box-length', type=float, default=10.0)
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--num-epochs', type=int, default=100_000)
@@ -32,6 +36,10 @@ def main():
     p.add_argument('--seed', type=int, default=2)
     p.add_argument('--estimator', default='clipped_score',
                    choices=['clipped_score', 'reference'])
+    p.add_argument('--sampler', default='ancestral',
+                   choices=['ancestral', 'metropolis'],
+                   help='walker source: exact ancestral draws from |psi|^2 '
+                        'or warm-started Metropolis MCMC walkers')
     p.add_argument('--no-interactions', action='store_true',
                    help='drop electron-electron repulsion (free-fermion '
                         'oracle systems, e.g. --system box3)')
@@ -39,7 +47,9 @@ def main():
                    help='shard the walker batch over all visible devices')
     args = p.parse_args()
 
-    cfg = VMCConfig(system_name=args.system, box_length=args.box_length,
+    cfg = VMCConfig(system_name=args.system,
+                    n_space_dimension=args.n_space_dimension,
+                    box_length=args.box_length,
                     batch_size=args.batch_size, num_epochs=args.num_epochs,
                     learning_rate=args.learning_rate,
                     spline_degree=args.spline_degree,
@@ -47,6 +57,7 @@ def main():
                     n_flow_layers=args.n_flow_layers,
                     log_every=args.log_every, save_dir=args.save_dir,
                     seed=args.seed, estimator=args.estimator,
+                    sampler=args.sampler,
                     interactions=not args.no_interactions,
                     data_parallel=args.data_parallel)
     trainer = VMCTrainer(cfg)

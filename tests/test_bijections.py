@@ -148,7 +148,7 @@ def test_imade_bijective_and_log_det():
     np.testing.assert_allclose(np.asarray(ldj), ref_ldj, atol=5e-3)
 
 
-@pytest.mark.parametrize("coord_type", ["first", "mean"])
+@pytest.mark.parametrize("coord_type", ["first", "mean", "independent"])
 @pytest.mark.parametrize("dim", [2, 3, 5])
 def test_box_transform_roundtrip(coord_type, dim):
     L = 3.0
@@ -162,7 +162,7 @@ def test_box_transform_roundtrip(coord_type, dim):
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3)
 
 
-@pytest.mark.parametrize("coord_type", ["first", "mean"])
+@pytest.mark.parametrize("coord_type", ["first", "mean", "independent"])
 def test_box_transform_log_det(coord_type):
     L = 2.0
     dim = 3

@@ -240,3 +240,26 @@ def test_exact_3p_interacting_li_bounds():
     e_free, _, _ = exact_ground_state_3p(protons, 10.0, n_grid=55,
                                          interactions=False)
     assert e55 > e_free
+
+
+def test_exact_2d_1e_free_box_matches_analytic():
+    """2D one-electron ED with no protons reproduces the analytic 2D
+    particle-in-a-box ground energy E = pi^2/(2L)^2 (n_x=n_y=1)."""
+    from waveflow_tpu.physics import exact_ground_state_2d_1e
+    L = 2.0
+    e, psi, x = exact_ground_state_2d_1e(np.zeros((0, 2)), L, n_grid=150)
+    analytic = np.pi ** 2 / (2 * L) ** 2
+    assert abs(e - analytic) < 1e-3, (e, analytic)
+    h = x[1] - x[0]
+    np.testing.assert_allclose((psi ** 2).sum() * h * h, 1.0, rtol=1e-6)
+
+
+def test_exact_2d_1e_hydrogen_grid_stable():
+    """Soft-Coulomb 2D hydrogen in the L=5 box: grid-converged to
+    ~-0.4303 (oracle for the 2D VMC run; the reference's 2D catalogue
+    entries were never runnable, physics.py:62 TODO)."""
+    from waveflow_tpu.physics import exact_ground_state_2d_1e
+    e100, _, _ = exact_ground_state_2d_1e([[0.0, 0.0]], 5.0, n_grid=100)
+    e150, _, _ = exact_ground_state_2d_1e([[0.0, 0.0]], 5.0, n_grid=150)
+    assert abs(e100 - (-0.4303)) < 2e-3, e100
+    assert abs(e150 - e100) < 1e-4

@@ -265,3 +265,30 @@ def test_vmc_sr_optimizer_trains():
     losses = np.asarray(t.train(num_epochs=60, verbose=False))
     assert np.isfinite(losses).all()
     assert losses[-20:].mean() < losses[:20].mean() + 0.5
+
+
+def test_vmc_2d_hydrogen_trains_toward_oracle():
+    """n_space_dimension=2 end to end: the trainer switches to the
+    'independent' coordinate map (no sorted-gap structure for a single
+    electron in 2D), the Euclidean soft-Coulomb potential engages, and the
+    clipped energy descends while staying above the grid-ED oracle
+    (exact_ground_state_2d_1e: -0.4303 at L=5).  The reference lists 2D
+    systems in its catalogue but could never run them (physics.py:62)."""
+    cfg = VMCConfig(system_name='H', n_space_dimension=2, box_length=5.0,
+                    batch_size=64, spline_degree=4, num_knots=8,
+                    n_flow_layers=1, n_spline_base_mesh_points=400,
+                    log_every=10_000, learning_rate=3e-3,
+                    save_dir='/tmp/vmc_h2d_test')
+    t = VMCTrainer(cfg)
+    assert t.input_dim == 2 and t.n_particle == 1
+    losses = np.asarray(t.train(num_epochs=120, verbose=False))
+    assert np.isfinite(losses).all()
+    losses = np.clip(losses, -100, 100)
+    assert losses[-40:].mean() < losses[:40].mean() + 0.5
+    # variational bound (statistical margin for MC noise)
+    assert losses[-40:].mean() > -0.4303 - 0.5
+
+
+def test_vmc_2d_two_electron_raises():
+    with pytest.raises(NotImplementedError):
+        VMCTrainer(VMCConfig(system_name='He', n_space_dimension=2))

@@ -79,8 +79,24 @@ def BoxTransformLayer(box_side=1.0, xu_coord_type='mean'):
                 [jnp.zeros_like(x0[:, None]), jnp.cumsum(gaps, axis=-1)], axis=-1)
             return xs, 0
 
+        # ---- 'independent' variant (new; no reference counterpart) ------
+        # Per-dimension affine map with no ordering structure, for
+        # distinguishable coordinates: a single electron in n>1 space
+        # dimensions, or bosonic/unsorted coordinates.  The 'first'/'mean'
+        # variants parameterize the sorted sector of identical 1D fermions;
+        # the reference has no transform for its own 2D catalogue entries.
+        def direct_independent(params, x, **kwargs):
+            outputs = (x + L) / (2 * L)
+            log_det = jnp.full(x.shape[:-1], -x.shape[-1] * jnp.log(2 * L))
+            return outputs, log_det
+
+        def inverse_independent(params, u, **kwargs):
+            return u * (2 * L) - L, 0
+
         if xu_coord_type == 'mean':
             return (), direct_mean, inverse_mean
+        if xu_coord_type == 'independent':
+            return (), direct_independent, inverse_independent
         return (), direct_first, inverse_first
 
     return init_fun

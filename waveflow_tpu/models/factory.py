@@ -56,6 +56,10 @@ def get_waveflow_model(n_dimension, base_spline_degree=5, i_spline_degree=5,
     """
     if xu_coord_type == 'mean':
         constrained_left = jnp.arange(0, n_dimension - 1, dtype=int)
+    elif xu_coord_type == 'independent':
+        # distinguishable coordinates (e.g. one electron in n>1 space
+        # dimensions): no sorted-gap structure, no constrained dims
+        constrained_left = jnp.arange(0, dtype=int)
     else:
         constrained_left = jnp.arange(1, n_dimension, dtype=int)
 

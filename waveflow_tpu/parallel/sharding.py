@@ -109,6 +109,45 @@ def make_sharded_train_window(psi, h_fn, sample_fn, optimizer,
     return jax.jit(mapped)
 
 
+def make_sharded_sr_window(psi, h_fn, sample_fn, learning_rate: float,
+                           global_batch: int, window: int, mesh: Mesh,
+                           axis_name: str = WALKER_AXIS,
+                           damping: float = 1e-3, cg_iters: int = 20):
+    """Walker-sharded stochastic-reconfiguration (natural-gradient) window.
+
+    Every batch expectation inside SR — the clipped-score gradient, E[O],
+    and each CG matrix-vector product S·v — is pmean-reduced over the
+    walker axis (vmc/sr.py), so all devices run an identical CG on the
+    global-batch quantum geometric tensor and stay in lockstep.  Per CG
+    iteration that is one extra all-reduce of a parameter-sized pytree
+    (tiny here); the Laplacian/ψ work dominates and scales with the local
+    batch.  Signature matches make_sharded_train_window (opt_state = ()).
+    """
+    from waveflow_tpu.vmc.sr import make_sr_train_window
+
+    n_dev = mesh.devices.size
+    if global_batch % n_dev != 0:
+        raise ValueError(
+            f"global_batch {global_batch} not divisible by mesh {n_dev}")
+    local_batch = global_batch // n_dev
+    local_window = make_sr_train_window(psi, h_fn, sample_fn, learning_rate,
+                                        local_batch, window,
+                                        damping=damping, cg_iters=cg_iters,
+                                        pmean_axis=axis_name)
+
+    def local(params, opt_state, keys, baseline):
+        params, opt_state, rng, new_baseline, losses = local_window(
+            params, opt_state, keys[0], baseline)
+        return params, opt_state, rng[None], new_baseline, losses
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P()),
+        out_specs=(P(), P(), P(axis_name), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def make_sharded_mcmc_window(psi, h_fn, log_pdf, optimizer, window: int,
                              box_length: float, mesh: Mesh,
                              n_sweeps: int = 10,

@@ -154,6 +154,34 @@ def exact_ground_state_3p(protons, box_length: float, n_grid: int = 110,
     return float(evals[0]), psi, x
 
 
+def exact_ground_state_2d_1e(protons, box_length: float, n_grid: int = 200):
+    """Ground state of one electron in the 2D box [-L, L]² with Dirichlet
+    walls: (energy, psi (n, n), x).  V(r) = -Σ_p 1/sqrt(1 + |r - r_p|²),
+    the Euclidean-norm soft-Coulomb (physics/hamiltonian.py::get_potential
+    with n_space_dimensions=2).  5-point stencil, sparse eigsh.
+
+    New capability: the reference lists 2D systems in its catalogue
+    (physics.py:6-26) but its potential is 1D-only (physics.py:62 TODO) and
+    its oracle covers 1D only — the 2D entries were never runnable there."""
+    x = np.linspace(-box_length, box_length, n_grid + 2)[1:-1]
+    n = len(x)
+    h = x[1] - x[0]
+    k1 = _kinetic_1d(n, h)
+    eye = sp.identity(n, format='csr')
+    H = sp.kron(k1, eye, format='csr') + sp.kron(eye, k1, format='csr')
+    protons = np.asarray(protons, dtype=float).reshape(-1, 2) \
+        if np.asarray(protons).size else np.zeros((0, 2))
+    xx, yy = np.meshgrid(x, x, indexing='ij')
+    v = np.zeros_like(xx)
+    for p in protons:
+        v -= 1.0 / np.sqrt(1.0 + (xx - p[0]) ** 2 + (yy - p[1]) ** 2)
+    H = H + sp.diags(v.reshape(-1))
+    evals, evecs = eigsh(H, k=1, which='SA')
+    psi = evecs[:, 0].reshape(n, n)
+    psi = psi / np.sqrt((psi ** 2).sum() * h * h)
+    return float(evals[0]), psi, x
+
+
 def exact_free_fermion_energy(n_electrons: int, box_length: float) -> float:
     """Exact ground energy of n non-interacting spinless fermions in the box
     [-L, L] with Dirichlet walls: the n lowest particle-in-a-box levels,

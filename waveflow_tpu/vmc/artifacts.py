@@ -28,8 +28,13 @@ def eval_psi_antisymmetrized(psi, params, coords: jnp.ndarray) -> np.ndarray:
 def save_wavefunction_artifacts(save_dir: str, psi, sample, params, epoch: int,
                                 box_length: float, n_particle: int,
                                 protons, rng, ngrid: int = 100,
-                                nsample: int = 250) -> None:
-    """Write ψ-grid, density-slice, and sample-cloud artifacts for one epoch."""
+                                nsample: int = 250,
+                                n_space_dimension: int = 1) -> None:
+    """Write ψ-grid, density-slice, and sample-cloud artifacts for one epoch.
+
+    Sort+parity antisymmetrization applies to identical 1D fermions only;
+    for n_space_dimension > 1 (single-electron systems) ψ is evaluated
+    directly and the 2D grid is the (x, y) plane of the one electron."""
     base = Path(save_dir) / 'outputs'
     wf_dir = base / 'wavefunctions_2d'
     de_dir = base / 'density_1e'
@@ -38,20 +43,24 @@ def save_wavefunction_artifacts(save_dir: str, psi, sample, params, epoch: int,
         d.mkdir(parents=True, exist_ok=True)
 
     line = np.linspace(-box_length, box_length, ngrid)
+    if n_space_dimension == 1:
+        eval_fn = lambda c: eval_psi_antisymmetrized(psi, params, c)
+    else:
+        eval_fn = lambda c: np.asarray(psi(params, c))
 
-    if n_particle == 2:
-        # 2D wavefunction grid with sort+parity (helpers.py:52-59)
+    if n_particle == 2 or (n_particle == 1 and n_space_dimension == 2):
+        # 2D wavefunction grid: two 1D fermions with sort+parity
+        # (helpers.py:52-59), or one electron over its (x, y) plane
         X, Y = np.meshgrid(line, line)
         coords = jnp.asarray(np.stack([X, Y], -1).reshape(-1, 2),
                              dtype=jnp.float32)
-        z = eval_psi_antisymmetrized(psi, params, coords)
-        np.save(wf_dir / f'values_epoch{epoch}.npy', z)
+        np.save(wf_dir / f'values_epoch{epoch}.npy', eval_fn(coords))
 
     # one-electron density slice anchored at a random sample (63-73)
     anchor = np.asarray(sample(rng, params, 1))
     x = np.repeat(anchor, ngrid, axis=0)
     x[:, 0] = line
-    z = eval_psi_antisymmetrized(psi, params, jnp.asarray(x, jnp.float32))
+    z = eval_fn(jnp.asarray(x, jnp.float32))
     np.save(de_dir / f'random_values_epoch{epoch}.npy', z)
     np.save(de_dir / f'random_coord_epoch{epoch}.npy', x)
 
@@ -60,7 +69,7 @@ def save_wavefunction_artifacts(save_dir: str, psi, sample, params, epoch: int,
         x = np.ones((ngrid, x.shape[1]), dtype=np.float32) \
             * np.asarray(protons)[0, 0]
         x[:, 0] = line
-        z = eval_psi_antisymmetrized(psi, params, jnp.asarray(x))
+        z = eval_fn(jnp.asarray(x))
         np.save(de_dir / f'onproton_values_epoch{epoch}.npy', z)
         np.save(de_dir / f'onproton_coord_epoch{epoch}.npy', x)
 

@@ -116,19 +116,37 @@ class VMCTrainer:
         self.protons, self.n_particle = system_catalogue[
             c.n_space_dimension][c.system_name]
 
+        # model input dimension = flattened coordinate count.  For
+        # n_space_dimension > 1 the sorted-gap ('mean'/'first') coordinate
+        # types are meaningless — they parameterize the ordered sector of
+        # identical 1D fermions — so single-electron systems switch to the
+        # 'independent' per-dimension box map.  Antisymmetric n>1 electrons
+        # in n>1 space dimensions need a permutation-equivariant ansatz the
+        # square-flow family does not provide (the reference's 2D catalogue
+        # entries were never runnable at all: physics.py:62 TODO).
+        self.input_dim = int(self.n_particle) * c.n_space_dimension
+        xu_coord_type = c.xu_coord_type
+        if c.n_space_dimension > 1:
+            if self.n_particle > 1:
+                raise NotImplementedError(
+                    "n_space_dimension > 1 supports single-electron systems "
+                    "(H, He+, H2+); antisymmetry of multiple electrons in "
+                    ">1D is outside the sorted-sector ansatz")
+            xu_coord_type = 'independent'
+
         init_fun = get_waveflow_model(
-            self.n_particle,
+            self.input_dim,
             base_spline_degree=c.spline_degree, i_spline_degree=c.spline_degree,
             n_prior_internal_knots=c.num_knots, n_i_internal_knots=c.num_knots,
             i_spline_reg=c.i_spline_reg,
             i_spline_reverse_fun_tol=c.i_spline_reverse_fun_tol,
             n_flow_layers=c.n_flow_layers, box_size=c.box_length,
-            xu_coord_type=c.xu_coord_type,
+            xu_coord_type=xu_coord_type,
             n_spline_base_mesh_points=c.n_spline_base_mesh_points)
 
         rng = jax.random.PRNGKey(c.seed)
         self.init_rng, self.rng = jax.random.split(rng)
-        params, psi, log_pdf, sample = init_fun(self.init_rng, self.n_particle)
+        params, psi, log_pdf, sample = init_fun(self.init_rng, self.input_dim)
         self.params = params
         self.psi = psi
         self.log_pdf = log_pdf
@@ -140,10 +158,10 @@ class VMCTrainer:
 
         self.sample_jit = jax.jit(sample, static_argnums=(2,))
         if c.optimizer == 'sr':
-            if c.data_parallel or c.sampler == 'metropolis':
+            if c.sampler == 'metropolis':
                 raise NotImplementedError(
-                    "optimizer='sr' currently supports the single-device "
-                    "ancestral path; use optimizer='adam' otherwise")
+                    "optimizer='sr' currently pairs with the ancestral "
+                    "sampler; use optimizer='adam' with sampler='metropolis'")
             from waveflow_tpu.vmc.sr import (make_sr_train_step,
                                              make_sr_train_window)
             self.optimizer = None
@@ -173,12 +191,21 @@ class VMCTrainer:
             raise ValueError(f"unknown optimizer {c.optimizer!r}")
         self.mesh = None
         if c.data_parallel:
-            from waveflow_tpu.parallel import (make_sharded_train_window,
+            from waveflow_tpu.parallel import (make_sharded_sr_window,
+                                               make_sharded_train_window,
                                                make_walker_mesh)
             self.mesh = make_walker_mesh()
-            self.sharded_window_jit = make_sharded_train_window(
-                psi, self.h_fn, sample, self.optimizer, c.batch_size,
-                c.window, self.mesh, estimator=c.estimator)
+            if c.optimizer == 'sr':
+                # natural gradient over the mesh: every CG matvec on the
+                # quantum geometric tensor is pmean-reduced (vmc/sr.py)
+                self.sharded_window_jit = make_sharded_sr_window(
+                    psi, self.h_fn, sample, c.learning_rate, c.batch_size,
+                    c.window, self.mesh, damping=c.sr_damping,
+                    cg_iters=c.sr_cg_iters)
+            else:
+                self.sharded_window_jit = make_sharded_train_window(
+                    psi, self.h_fn, sample, self.optimizer, c.batch_size,
+                    c.window, self.mesh, estimator=c.estimator)
 
         self.mcmc_state = None
         if c.sampler == 'metropolis':
@@ -227,7 +254,7 @@ class VMCTrainer:
             save_wavefunction_artifacts(
                 save_dir, self.psi, self.sample_jit, self.params, self.epoch,
                 self.config.box_length, int(self.n_particle), self.protons,
-                art_rng)
+                art_rng, n_space_dimension=self.config.n_space_dimension)
         with open(path / 'checkpoints', 'wb') as f:
             pickle.dump({
                 'params': jax.device_get(self.params),
