@@ -1,0 +1,88 @@
+"""Oracle-validation sweep over the ENTIRE 1D system catalogue.
+
+Trains every system in waveflow_tpu.physics.systems.system_catalogue[1]
+for 40k epochs on the chip (seconds each at ~3k epochs/s) and compares the
+median tail energy against the matching exact oracle:
+
+  * sparse grid ED for interacting 1-3 electron systems
+    (physics/exact.py — the reference's qmsolve oracle covered n<=2 and
+    was never run in-repo);
+  * the analytic free-fermion level sum for the protonless
+    interactions=False boxes.
+
+Writes results/catalogue_sweep.json.  Run from the repo root on the chip.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+from waveflow_tpu.physics import (exact_free_fermion_energy,
+                                  exact_ground_state_1d, system_catalogue)
+from waveflow_tpu.utils import median_energy_estimate
+from waveflow_tpu.vmc import VMCConfig, VMCTrainer
+
+# (system, box_length, extra config).  lr kept uniform per electron count
+# so the persistent compile cache is hit across same-shape systems.
+SWEEP = [
+    ('H', 10.0, {}),
+    ('He+', 10.0, {}),
+    ('H2+', 10.0, {}),
+    ('H2+_wide', 12.0, {}),
+    ('He', 10.0, {}),
+    ('He_off_center', 10.0, {}),
+    ('H2', 10.0, {}),
+    ('H2_wide', 12.0, {}),
+    ('Laplacian_interactive_particles', 5.0, {}),
+    ('box2', 5.0, dict(interactions=False)),
+    ('box3', 5.0, dict(interactions=False, learning_rate=3e-4)),
+    ('Li', 10.0, dict(learning_rate=3e-4)),
+]
+
+EPOCHS = 40_000
+
+
+def main():
+    rows = {}
+    for name, L, extra in SWEEP:
+        protons, n_el = system_catalogue[1][name]
+        interactions = extra.get('interactions', True)
+        cfg = VMCConfig(system_name=name, box_length=L, batch_size=256,
+                        num_epochs=EPOCHS, log_every=20_000,
+                        save_dir=str(REPO / 'results' / f'sweep_{name}'),
+                        seed=2, **extra)
+        t0 = time.time()
+        trainer = VMCTrainer(cfg)
+        losses = np.asarray(trainer.train(verbose=False))
+        wall = time.time() - t0
+        median, stderr = median_energy_estimate(losses, tail_fraction=0.2)
+        if not interactions:
+            exact = exact_free_fermion_energy(int(n_el), L)
+            oracle = 'analytic free-fermion'
+        else:
+            exact = exact_ground_state_1d(np.asarray(protons), int(n_el), L)
+            oracle = f'grid ED (n={int(n_el)})'
+        rows[name] = {
+            'n_el': int(n_el), 'box_length': L,
+            'vmc_median': round(float(median), 5),
+            'exact': round(float(exact), 5),
+            'deviation': round(float(median - exact), 5),
+            'oracle': oracle,
+            'epochs_per_sec': round(EPOCHS / wall, 1),
+            'wall_s': round(wall, 1),
+        }
+        print(f"{name:34s} VMC {median:+.4f}  exact {exact:+.4f}  "
+              f"dev {median - exact:+.5f}  ({EPOCHS / wall:.0f} ep/s)",
+              flush=True)
+    with open(REPO / 'results' / 'catalogue_sweep.json', 'w') as f:
+        json.dump(rows, f, indent=2)
+
+
+if __name__ == '__main__':
+    main()

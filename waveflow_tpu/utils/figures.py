@@ -83,7 +83,8 @@ def plot_pdf_grid(pdf_grid: np.ndarray, out_path: str,
 
 
 def plot_energy_trace(losses: np.ndarray, out_path: str, window: int = 100,
-                      clip: float = 100.0):
+                      clip: float = 100.0,
+                      exact_energy: float | None = None):
     from waveflow_tpu.utils.observables import uniform_sliding_average
     plt = _mpl()
     losses = np.clip(np.asarray(losses, dtype=float).ravel(), -clip, clip)
@@ -92,6 +93,11 @@ def plot_energy_trace(losses: np.ndarray, out_path: str, window: int = 100,
     if len(losses) > window:
         ax.plot(uniform_sliding_average(losses, window), lw=1.5,
                 label=f'window-{window} mean')
+    if exact_energy is not None:
+        ax.axhline(exact_energy, color='k', ls='--', lw=1,
+                   label=f'exact {exact_energy:.4f}')
+        lo = min(exact_energy - 0.5, np.percentile(losses, 2))
+        ax.set_ylim(lo, exact_energy + 2.0)
     ax.set_xlabel('epoch'); ax.set_ylabel(r'$\langle E_L \rangle$')
     ax.legend(); ax.grid(True)
     fig.tight_layout()
