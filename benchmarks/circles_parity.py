@@ -27,9 +27,13 @@ sys.path.insert(0, "/root/reference")
 import numpy as np
 
 CONFIGS = [
-    dict(name='MFlow_0.05_3_5_15', spline_reg=0.05, n_knots=15,
-         num_epochs=12_000),
-    dict(name='MFlow_0.02_3_5_23', spline_reg=0.02, n_knots=23,
+    dict(name='MFlow_0.05_3_5_15', model='MFlow', spline_reg=0.05,
+         n_knots=15, num_epochs=12_000),
+    dict(name='MFlow_0.02_3_5_23', model='MFlow', spline_reg=0.02,
+         n_knots=23, num_epochs=30_000),
+    # the remaining published row family: affine-MADE Flow, 3 layers
+    # (BASELINE.md double_circles Flow_3: loss -0.7564 / KL 0.2603)
+    dict(name='Flow_3', model='Flow', spline_reg=0.0, n_knots=15,
          num_epochs=30_000),
 ]
 
@@ -49,7 +53,7 @@ def run_ours(X, X_test, cfg):
     )
     t0 = time.time()
     params, log_pdf, sample, hist = train_density_model(
-        X, model_name='MFlow', num_epochs=cfg['num_epochs'],
+        X, model_name=cfg['model'], num_epochs=cfg['num_epochs'],
         learning_rate=1e-4, spline_reg=cfg['spline_reg'],
         n_flow_layers=3, spline_degree=5, n_knots=cfg['n_knots'],
         log_every=max(2000, cfg['num_epochs'] // 4),
@@ -84,7 +88,7 @@ def run_reference(X, X_test, cfg):
     # MFlow with I-spline degree/knots per config and its fixed
     # degree-3/15-knot prior)
     init_fun = ref_bench.get_model(
-        'MFlow', cfg['spline_reg'], spline_degree=5,
+        cfg['model'], cfg['spline_reg'], spline_degree=5,
         num_knots=cfg['n_knots'], num_layers=3)
     params, log_pdf, sample = init_fun(jax.random.PRNGKey(5), 2)
     opt_init, opt_update, get_params = optimizers.adam(1e-4)
@@ -122,16 +126,19 @@ def run_reference(X, X_test, cfg):
 
 def main():
     X, X_test = get_split()
-    out = {}
+    out_path = REPO / 'results' / 'circles_parity.json'
+    out = json.loads(out_path.read_text()) if out_path.exists() else {}
     for cfg in CONFIGS:
-        print(f"=== ours: {cfg['name']} ===", flush=True)
-        out[f"ours_{cfg['name']}"] = run_ours(X, X_test, cfg)
-        print(json.dumps(out[f"ours_{cfg['name']}"]), flush=True)
-        print(f"=== reference: {cfg['name']} ===", flush=True)
-        out[f"reference_{cfg['name']}"] = run_reference(X, X_test, cfg)
-        print(json.dumps(out[f"reference_{cfg['name']}"]), flush=True)
-    with open(REPO / 'results' / 'circles_parity.json', 'w') as f:
-        json.dump(out, f, indent=2)
+        for side, runner in (('ours', run_ours), ('reference', run_reference)):
+            key = f"{side}_{cfg['name']}"
+            if key in out:
+                print(f"=== {key} cached, skipping ===", flush=True)
+                continue
+            print(f"=== {side}: {cfg['name']} ===", flush=True)
+            out[key] = runner(X, X_test, cfg)
+            print(json.dumps(out[key]), flush=True)
+            with open(out_path, 'w') as f:
+                json.dump(out, f, indent=2)
 
 
 if __name__ == '__main__':
