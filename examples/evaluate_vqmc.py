@@ -71,7 +71,10 @@ def main():
     print(f"clip-mean [biased on heavy tails]: {mean:.4f} +/- {stderr:.4f} "
           f"(clip ±{args.clip:g})")
     print(f"exact (ED oracle):  {exact:.4f}")
-    print(f"deviation (median): {median - exact:+.4f}  ({n_sigma:.1f} sigma)")
+    # a large sigma with a tiny deviation means the gap is a *systematic*
+    # variational offset resolved far beyond statistical noise, not an error
+    print(f"deviation (median): {median - exact:+.4f}  "
+          f"(variational gap = {n_sigma:.1f}x stat. err)")
 
 
 if __name__ == '__main__':

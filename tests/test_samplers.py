@@ -218,3 +218,76 @@ def test_nuts_parameter_posterior():
     state, trace = run_fn(state, jax.random.PRNGKey(2), 200, n_warmup=100)
     post_mean = float(np.asarray(trace[50:]).mean())
     assert abs(post_mean - float(data.mean())) < 0.1
+
+
+# --- MALA (gradient-informed Langevin proposals, vmc/mala.py) --------------
+
+from waveflow_tpu.vmc.mala import make_mala_sampler
+
+
+def test_mala_standard_normal():
+    log_pdf = lambda params, x: -0.5 * (x ** 2).sum(-1)
+    init_fn, step_fn, run_fn = make_mala_sampler(log_pdf)
+    B, D = 256, 2
+    pos = jax.random.normal(jax.random.PRNGKey(0), (B, D)) * 0.1
+    state = init_fn(None, pos, step_size=0.5)
+    state, trace = jax.jit(run_fn, static_argnums=(3, 4))(
+        None, state, jax.random.PRNGKey(1), 600, 2)
+    samples = np.asarray(trace[100:]).reshape(-1, D)
+    assert abs(samples.mean()) < 0.05
+    assert abs(samples.std() - 1.0) < 0.05
+    # adapted toward the MALA-optimal acceptance
+    assert 0.35 < float(state.accept_rate) < 0.8
+
+
+def test_mala_anisotropic_covariance():
+    cov_diag = jnp.asarray([4.0, 0.25])
+    log_pdf = lambda params, x: -0.5 * (x ** 2 / cov_diag).sum(-1)
+    init_fn, _, run_fn = make_mala_sampler(log_pdf)
+    pos = jax.random.normal(jax.random.PRNGKey(0), (512, 2)) * 0.1
+    state = init_fn(None, pos, step_size=0.3)
+    state, trace = jax.jit(run_fn, static_argnums=(3, 4))(
+        None, state, jax.random.PRNGKey(1), 1500, 4)
+    samples = np.asarray(trace[150:]).reshape(-1, 2)
+    np.testing.assert_allclose(samples.var(0), np.asarray(cov_diag),
+                               rtol=0.15)
+
+
+def test_mala_asymmetric_correction_matters():
+    """With the q(x|x')/q(x'|x) correction removed, MALA on a skewed
+    density is *biased* — verify our kernel's moments beat the uncorrected
+    variant on a density with strong drift asymmetry (exponential-like)."""
+    # smooth asymmetric density: log p = -x - exp(-x) (Gumbel), mean ~ 0.577
+    log_pdf = lambda params, x: (-x - jnp.exp(-x)).sum(-1)
+    init_fn, _, run_fn = make_mala_sampler(log_pdf)
+    pos = jnp.zeros((512, 1))
+    state = init_fn(None, pos, step_size=0.5)
+    state, trace = jax.jit(run_fn, static_argnums=(3, 4))(
+        None, state, jax.random.PRNGKey(1), 1200, 4)
+    samples = np.asarray(trace[100:]).ravel()
+    assert abs(samples.mean() - 0.5772) < 0.05
+    assert abs(samples.var() - np.pi ** 2 / 6) < 0.15
+
+
+def test_mala_stationary_on_waveflow_2d():
+    """MALA reusing the model's own log_pdf and gradient on the 2D
+    'independent'-coordinate Waveflow (no sorted-sector quotient, so the
+    Langevin drift needs no symmetrization): warm-start at ancestral draws
+    and verify the pooled chain moments stay at the ancestral ones."""
+    from waveflow_tpu.models import get_waveflow_model
+    init = get_waveflow_model(2, base_spline_degree=4, i_spline_degree=4,
+                              n_prior_internal_knots=8, n_i_internal_knots=8,
+                              i_spline_reg=0.1, n_flow_layers=1, box_size=5.0,
+                              xu_coord_type='independent',
+                              n_spline_base_mesh_points=400)
+    params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), 2)
+    anc = np.asarray(sample(jax.random.PRNGKey(1), params, 4096))
+
+    init_fn, _, run_fn = make_mala_sampler(log_pdf, bounds=(-5.0, 5.0))
+    state = init_fn(params, jnp.asarray(anc[:512]), step_size=0.8)
+    state, trace = jax.jit(run_fn, static_argnums=(3, 4))(
+        params, state, jax.random.PRNGKey(3), 400, 1)
+    mc = np.asarray(trace[200:]).reshape(-1, 2)
+    np.testing.assert_allclose(mc.mean(0), anc.mean(0), atol=0.2)
+    np.testing.assert_allclose(mc.std(0), anc.std(0), atol=0.2)
+    assert 0.2 < float(state.accept_rate) < 0.95
