@@ -32,7 +32,7 @@ def build(batch_size, window=100):
     params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), n_particle)
     h_fn = construct_hamiltonian_function(
         psi, protons=protons, n_space_dimensions=1, eps=0.0)
-    opt = optax.adam(1e-4)
+    opt = optax.flatten(optax.adam(1e-4))  # one fused update kernel
     opt_state = opt.init(params)
     window_jit = jax.jit(make_train_window(
         psi, h_fn, sample, opt, batch_size, window))

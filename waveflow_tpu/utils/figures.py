@@ -111,8 +111,8 @@ def plot_wavefunction_2d_multi(psi_grids: dict[str, np.ndarray],
     scale (plot_helpers.py:144-208 role).  psi_grids: {label: flat grid}."""
     plt = _mpl()
     n_panels = len(psi_grids)
-    fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 3.6),
-                             squeeze=False)
+    fig, axes = plt.subplots(1, n_panels, figsize=(4.4 * n_panels, 3.6),
+                             squeeze=False, layout='constrained')
     vmax = max(np.abs(g).max() for g in psi_grids.values()) or 1.0
     for ax, (label, grid) in zip(axes[0], psi_grids.items()):
         n = int(np.sqrt(grid.size))
