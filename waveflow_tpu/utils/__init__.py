@@ -8,3 +8,4 @@ from waveflow_tpu.utils.observables import (
 from waveflow_tpu.utils.profiling import (
     enable_persistent_compilation_cache, time_fn, trace,
 )
+from waveflow_tpu.utils.fidelity import fidelity_2d_1e, fidelity_2p, fidelity_3p
