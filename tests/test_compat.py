@@ -77,3 +77,28 @@ def test_model_trainer_compat(tmp_path):
     losses = trainer.start_training()
     assert len(losses) == 4
     assert np.isfinite(losses).all()
+
+
+def test_benchmark_compat_surface(tmp_path):
+    """Reference benchmark_tests workflow through the compat shim:
+    get_dataset -> get_model -> train_model, with the reference's artifact
+    files written."""
+    import numpy as np
+    from waveflow_tpu import compat
+
+    X = compat.get_dataset('circles', 200, 0.025)
+    assert X.shape == (200, 2) and X.min() >= 0.0 and X.max() <= 1.0
+
+    init_fun = compat.get_model('MFlow', 0.05, spline_degree=3, num_knots=8,
+                                num_layers=1)
+    import jax
+    params, log_pdf, sample = init_fun(jax.random.PRNGKey(0), 2)
+    lp = np.asarray(log_pdf(params, X[:16]))
+    assert lp.shape == (16,) and np.isfinite(lp).all()
+
+    out = tmp_path / 'bench'
+    compat.train_model(X, model_type='MFlow', spline_reg=0.05,
+                       num_epochs=40, num_layers=1, spline_degree=3,
+                       num_knots=8, log_every=20, save_dir=str(out))
+    assert (out / 'losses.txt').exists()
+    assert (out / 'kl_divergences.txt').exists()

@@ -183,3 +183,45 @@ class ModelTrainer:
             save_dir=self.save_dir)
         trainer = VMCTrainer(cfg)
         return trainer.train(restart=restart)
+
+
+# --- benchmark trainer (benchmark_tests.py) ---------------------------------
+
+def get_dataset(dataset_name, n_samples, margin, rng=None):
+    """Drop-in for waveflow.benchmark_tests.get_dataset (benchmark_tests.py:
+    14-46); delegates to waveflow_tpu.benchmark.get_dataset."""
+    from waveflow_tpu.benchmark import get_dataset as _get
+    seed = 0 if rng is None else int(__import__('numpy').asarray(rng)[-1])
+    return _get(dataset_name, n_samples=n_samples, margin=margin, seed=seed)
+
+
+def get_model(model_type, spline_reg, spline_degree=3, num_knots=15,
+              num_layers=5, reverse_tol=1e-6, prior_spline_degree=3,
+              prior_num_knots=15):
+    """Drop-in for waveflow.benchmark_tests.get_model (benchmark_tests.py:
+    50-78): returns an init_fun(rng, input_dim) -> (params, log_pdf, sample)
+    assembled from this framework's Flow/IFlow/MFlow."""
+    from waveflow_tpu.benchmark.density import get_benchmark_model
+    if model_type not in ('Flow', 'IFlow', 'MFlow'):
+        raise ValueError(f"unknown model type {model_type!r}")
+    return get_benchmark_model(
+        model_type, spline_reg=spline_reg, n_flow_layers=num_layers,
+        spline_degree=spline_degree, n_knots=num_knots,
+        prior_spline_degree=prior_spline_degree,
+        prior_n_knots=prior_num_knots)
+
+
+def train_model(X, model_type='MFlow', spline_reg=0.05, num_epochs=80_000,
+                learning_rate=1e-4, num_layers=3, spline_degree=5,
+                num_knots=15, log_every=2000, save_dir=None, **_ignored):
+    """Drop-in for waveflow.benchmark_tests.train_model (benchmark_tests.py:
+    87-147): MLE training with periodic KDE-metric checkpoints, saving the
+    reference's artifact files (losses.txt, kl_divergences.txt, ...) when
+    save_dir is given.  Returns (params, log_pdf, sample)."""
+    from waveflow_tpu.benchmark.density import train_density_model
+    params, log_pdf, sample, _hist = train_density_model(
+        X, model_name=model_type, num_epochs=num_epochs,
+        learning_rate=learning_rate, spline_reg=spline_reg,
+        n_flow_layers=num_layers, spline_degree=spline_degree,
+        n_knots=num_knots, log_every=log_every, save_dir=save_dir)
+    return params, log_pdf, sample
