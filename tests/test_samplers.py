@@ -291,3 +291,34 @@ def test_mala_stationary_on_waveflow_2d():
     np.testing.assert_allclose(mc.mean(0), anc.mean(0), atol=0.2)
     np.testing.assert_allclose(mc.std(0), anc.std(0), atol=0.2)
     assert 0.2 < float(state.accept_rate) < 0.95
+
+
+def test_nuts_stationary_on_waveflow_2d():
+    """NUTS over walker configurations of the 2D 'independent' Waveflow
+    (gradients of log|psi|^2 through the whole flow, dynamic trajectory
+    lengths): warm-start at ancestral draws, verify pooled chain moments
+    match the ancestral ones."""
+    from waveflow_tpu.vmc.nuts import make_nuts_sampler
+    from waveflow_tpu.models import get_waveflow_model
+    init = get_waveflow_model(2, base_spline_degree=4, i_spline_degree=4,
+                              n_prior_internal_knots=8, n_i_internal_knots=8,
+                              i_spline_reg=0.1, n_flow_layers=1, box_size=5.0,
+                              xu_coord_type='independent',
+                              n_spline_base_mesh_points=400)
+    params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), 2)
+    anc = np.asarray(sample(jax.random.PRNGKey(1), params, 4096))
+
+    # clip u-space overshoot: the evaluators extrapolate edge cells, so the
+    # density is defined (and finite) slightly outside the box; bound via a
+    # steep quadratic wall to keep leapfrog trajectories inside
+    def log_prob(x):
+        wall = 1e3 * (jnp.maximum(jnp.abs(x) - 5.0, 0.0) ** 2).sum(-1)
+        return log_pdf(params, x) - wall
+
+    init_fn, _, run_fn = make_nuts_sampler(log_prob, max_tree_depth=5)
+    state = init_fn(jnp.asarray(anc[:256]), step_size=0.3)
+    state, trace = jax.jit(run_fn, static_argnums=(2, 3))(
+        state, jax.random.PRNGKey(3), 200, 80)
+    mc = np.asarray(trace[60:]).reshape(-1, 2)
+    np.testing.assert_allclose(mc.mean(0), anc.mean(0), atol=0.25)
+    np.testing.assert_allclose(mc.std(0), anc.std(0), atol=0.25)
