@@ -40,6 +40,9 @@ def main():
                    choices=['ancestral', 'metropolis'],
                    help='walker source: exact ancestral draws from |psi|^2 '
                         'or warm-started Metropolis MCMC walkers')
+    p.add_argument('--optimizer', default='adam', choices=['adam', 'sr'],
+                   help="'sr' = stochastic reconfiguration (natural "
+                        "gradient; typical learning rates 1e-2..1e-1)")
     p.add_argument('--no-interactions', action='store_true',
                    help='drop electron-electron repulsion (free-fermion '
                         'oracle systems, e.g. --system box3)')
@@ -57,7 +60,7 @@ def main():
                     n_flow_layers=args.n_flow_layers,
                     log_every=args.log_every, save_dir=args.save_dir,
                     seed=args.seed, estimator=args.estimator,
-                    sampler=args.sampler,
+                    sampler=args.sampler, optimizer=args.optimizer,
                     interactions=not args.no_interactions,
                     data_parallel=args.data_parallel)
     trainer = VMCTrainer(cfg)
