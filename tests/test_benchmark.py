@@ -46,3 +46,28 @@ def test_benchmark_models_train(model_name):
         # with a Normal prior is unbounded (reference sets no prior_support
         # for it, benchmark_tests.py:54-58)
         assert xs.min() >= -1e-4 and xs.max() <= 1.0 + 1e-4
+
+
+def test_best_checkpoint_tracking():
+    """With X_test given, train_density_model records the held-out-best
+    snapshot (best_test_ll / best_epoch / best_params) so long overfitting
+    schedules can be early-stopped post hoc."""
+    import jax
+    import numpy as np
+    from waveflow_tpu.benchmark import get_dataset
+    from waveflow_tpu.benchmark.density import train_density_model
+    from waveflow_tpu.benchmark.metrics import held_out_log_likelihood
+
+    X = get_dataset('circles', n_samples=400, margin=0.025, seed=1)
+    Xtr, Xte = X[:200], X[200:]
+    params, log_pdf, sample, hist = train_density_model(
+        Xtr, model_name='MFlow', num_epochs=60, learning_rate=1e-3,
+        spline_reg=0.05, n_flow_layers=1, spline_degree=3, n_knots=8,
+        log_every=20, verbose=False, X_test=Xte)
+    assert np.isfinite(hist['best_test_ll'])
+    assert 0 < hist['best_epoch'] <= 60
+    assert 'best_params' in hist
+    # best snapshot scores exactly its recorded LL
+    ll = held_out_log_likelihood(log_pdf, jax.device_put(hist['best_params']),
+                                 Xte)
+    assert abs(ll - hist['best_test_ll']) < 1e-5

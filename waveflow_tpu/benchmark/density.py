@@ -124,7 +124,8 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
                                                   'return_original_samples'))
 
     history = {'losses': [], 'kl': [], 'hellinger': [], 'reconstruction': [],
-               'test_ll': []}
+               'test_ll': [], 'best_test_ll': -np.inf, 'best_epoch': 0}
+    best_params = params
     epoch = 0
     while epoch < num_epochs:
         params, opt_state, rng, losses = run_block(params, opt_state, rng)
@@ -147,6 +148,13 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
                 tll = held_out_log_likelihood(log_pdf, params, X_test)
                 history['test_ll'].append(tll)
                 msg += f" | test-LL {tll:.4f}"
+                # long schedules overfit the small train sets (measured:
+                # RESULTS.md circles 30k rows) — track the held-out-best
+                # snapshot so callers can early-stop post hoc
+                if tll > history['best_test_ll']:
+                    history['best_test_ll'] = tll
+                    history['best_epoch'] = epoch
+                    best_params = jax.device_get(params)
             if verbose:
                 print(msg, flush=True)
             if save_dir:
@@ -160,4 +168,5 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
                            history['reconstruction'])
                 if history['test_ll']:
                     np.savetxt(path / 'test_ll.txt', history['test_ll'])
+    history['best_params'] = best_params
     return params, log_pdf, sample, history
