@@ -67,6 +67,39 @@ def test_hmc_anisotropic_gaussian_covariance():
     np.testing.assert_allclose(samples.std(0), np.asarray(scales), rtol=0.12)
 
 
+def test_hmc_warmup_anchor_follows_init_step_size():
+    """Dual-averaging anchors mu = log(10·eps0) from the *caller's* step
+    size (Hoffman & Gelman Alg. 6): warmup started at eps0=1.0 and at
+    eps0=0.1 must converge to the same adapted step (VERDICT r2 item 7 —
+    a hard-coded anchor drags every warmup toward the eps0=0.1 answer)."""
+    log_prob = lambda x: -0.5 * (x ** 2).sum(-1)
+    init_fn, _, run_fn = make_hmc_sampler(log_prob, n_leapfrog=8)
+    pos = jax.random.normal(jax.random.PRNGKey(0), (128, 3)) * 0.1
+    adapted = []
+    for eps0 in (0.1, 1.0):
+        state = init_fn(pos, step_size=eps0)
+        assert abs(float(state.mu) - np.log(10.0 * eps0)) < 1e-6
+        state, _ = run_fn(state, jax.random.PRNGKey(1), 1, n_warmup=400)
+        adapted.append(float(state.step_size))
+    ratio = adapted[1] / adapted[0]
+    assert 0.5 < ratio < 2.0, adapted
+
+
+def test_nuts_warmup_anchor_follows_init_step_size():
+    from waveflow_tpu.vmc.nuts import make_nuts_sampler
+    log_prob = lambda x: -0.5 * (x ** 2).sum(-1)
+    init_fn, _, run_fn = make_nuts_sampler(log_prob, max_tree_depth=5)
+    pos = jax.random.normal(jax.random.PRNGKey(0), (64, 2)) * 0.1
+    adapted = []
+    for eps0 in (0.1, 1.0):
+        state = init_fn(pos, step_size=eps0)
+        assert abs(float(state.mu) - np.log(10.0 * eps0)) < 1e-6
+        state, _ = run_fn(state, jax.random.PRNGKey(1), 1, n_warmup=200)
+        adapted.append(float(state.step_size))
+    ratio = adapted[1] / adapted[0]
+    assert 0.5 < ratio < 2.0, adapted
+
+
 def test_smc_bimodal_target():
     """Prior N(0, 3²); likelihood pushes mass to two modes at ±2."""
     log_prior = lambda x: -0.5 * (x ** 2).sum(-1) / 9.0
@@ -262,9 +295,10 @@ def test_mala_asymmetric_correction_matters():
     init_fn, _, run_fn = make_mala_sampler(log_pdf)
     pos = jnp.zeros((512, 1))
     state = init_fn(None, pos, step_size=0.5)
-    state, trace = jax.jit(run_fn, static_argnums=(3, 4))(
-        None, state, jax.random.PRNGKey(1), 1200, 4)
-    samples = np.asarray(trace[100:]).ravel()
+    # adaptive warmup, then recorded samples from the FROZEN kernel
+    state, trace = jax.jit(run_fn, static_argnums=(3, 4, 5))(
+        None, state, jax.random.PRNGKey(1), 1200, 4, 100)
+    samples = np.asarray(trace[25:]).ravel()
     assert abs(samples.mean() - 0.5772) < 0.05
     assert abs(samples.var() - np.pi ** 2 / 6) < 0.15
 
@@ -285,9 +319,9 @@ def test_mala_stationary_on_waveflow_2d():
 
     init_fn, _, run_fn = make_mala_sampler(log_pdf, bounds=(-5.0, 5.0))
     state = init_fn(params, jnp.asarray(anc[:512]), step_size=0.8)
-    state, trace = jax.jit(run_fn, static_argnums=(3, 4))(
-        params, state, jax.random.PRNGKey(3), 400, 1)
-    mc = np.asarray(trace[200:]).reshape(-1, 2)
+    state, trace = jax.jit(run_fn, static_argnums=(3, 4, 5))(
+        params, state, jax.random.PRNGKey(3), 400, 1, 100)
+    mc = np.asarray(trace[100:]).reshape(-1, 2)
     np.testing.assert_allclose(mc.mean(0), anc.mean(0), atol=0.2)
     np.testing.assert_allclose(mc.std(0), anc.std(0), atol=0.2)
     assert 0.2 < float(state.accept_rate) < 0.95

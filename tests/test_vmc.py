@@ -190,6 +190,91 @@ def test_vmc_metropolis_data_parallel_collective_adaptation():
                                   np.asarray(t.walker_keys))
 
 
+def test_vmc_mala_sampler_trains_and_checkpoints():
+    """sampler='mala': gradient-informed Langevin proposals drive the VMC
+    loop on the permutation-symmetrized density (full space, exact
+    asymmetric-kernel correction); walkers persist, stay in the box, and
+    the MALAState round-trips through checkpoints."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, sampler='mala', mcmc_sweeps=3,
+                    learning_rate=3e-3, save_dir='/tmp/vmc_mala_test')
+    t = VMCTrainer(cfg)
+    losses = np.asarray(t.train(num_epochs=30, verbose=False))
+    assert losses.shape == (30,)
+    assert np.isfinite(losses).all()
+    assert t.mcmc_state is not None
+    pos = np.asarray(t.mcmc_state.positions)
+    assert pos.shape == (64, 2)
+    assert (np.abs(pos) <= 5.0).all()
+    assert 0.05 < float(t.mcmc_state.accept_rate) < 0.99
+
+    t.save_checkpoint('/tmp/vmc_mala_test_ckpt')
+    t2 = VMCTrainer(cfg)
+    assert t2.load_checkpoint('/tmp/vmc_mala_test_ckpt')
+    from waveflow_tpu.vmc.mala import MALAState
+    assert isinstance(t2.mcmc_state, MALAState)
+    np.testing.assert_array_equal(np.asarray(t2.mcmc_state.positions), pos)
+    np.testing.assert_array_equal(np.asarray(t2.mcmc_state.grad),
+                                  np.asarray(t.mcmc_state.grad))
+
+
+def test_vmc_metropolis_2d_single_electron():
+    """The 'independent' coordinate map (single-electron, 2D) has no
+    sorted-sector quotient, so Metropolis runs without the sort projection
+    (round-2 review: the 1D-only restriction was unnecessary)."""
+    cfg = VMCConfig(system_name='H', n_space_dimension=2, box_length=5.0,
+                    batch_size=64, spline_degree=4, num_knots=8,
+                    n_flow_layers=1, n_spline_base_mesh_points=400,
+                    log_every=10_000, window=10, sampler='metropolis',
+                    mcmc_sweeps=3, learning_rate=3e-3,
+                    save_dir='/tmp/vmc_mcmc_2d_test')
+    t = VMCTrainer(cfg)
+    losses = np.asarray(t.train(num_epochs=20, verbose=False))
+    assert np.isfinite(losses).all()
+    pos = np.asarray(t.mcmc_state.positions)
+    assert pos.shape == (64, 2)
+    assert (np.abs(pos) <= 5.0).all()
+    # NOT projected to the sorted sector: both orderings must occur
+    d = np.diff(pos, axis=-1)
+    assert (d > 0).any() and (d < 0).any()
+
+
+def test_vmc_sr_with_metropolis_sampler():
+    """optimizer='sr' x sampler='metropolis' (round-2 review: the mode
+    matrix hole) — the SR update plugs into the MCMC window as its
+    train_step."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, sampler='metropolis', mcmc_sweeps=3,
+                    optimizer='sr', learning_rate=0.02, sr_cg_iters=5,
+                    save_dir='/tmp/vmc_sr_mcmc_test')
+    t = VMCTrainer(cfg)
+    losses = np.asarray(t.train(num_epochs=20, verbose=False))
+    assert np.isfinite(losses).all()
+    assert t.mcmc_state is not None
+
+
+def test_vmc_mala_data_parallel():
+    """Sharded MALA window on the 8-device mesh: positions/log-probs/drift
+    gradients walker-sharded, one collective step size."""
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, sampler='mala', mcmc_sweeps=2,
+                    data_parallel=True, learning_rate=3e-3,
+                    save_dir='/tmp/vmc_mala_dp_test')
+    t = VMCTrainer(cfg)
+    assert t.mesh is not None and t.mesh.devices.size == 8
+    losses = np.asarray(t.train(num_epochs=20, verbose=False))
+    assert np.isfinite(losses).all()
+    st = t.mcmc_state
+    assert np.asarray(st.positions).shape == (64, 2)
+    assert np.isfinite(float(st.step_size))
+
+
 def test_vmc_data_parallel_rng_advances_and_checkpoints():
     """Round-1 review: in mesh mode self.rng was never advanced and the
     per-device keys were not checkpointed — resume replayed the stream.
@@ -208,6 +293,38 @@ def test_vmc_data_parallel_rng_advances_and_checkpoints():
     t2 = VMCTrainer(cfg)
     assert t2.load_checkpoint('/tmp/vmc_dp_rng_ckpt')
     np.testing.assert_array_equal(np.asarray(t2.walker_keys), keys_after)
+
+
+def test_frozen_params_energy_evaluation():
+    """The trace-independent evaluation protocol (vmc/evaluate.py): blocked
+    Metropolis ⟨E_L⟩ at frozen params agrees with a direct ancestral-batch
+    estimate within a few stderr, and the error bar is finite/positive."""
+    from waveflow_tpu.vmc import evaluate_trainer
+    from waveflow_tpu.vmc.estimators import _safe_psi
+
+    cfg = VMCConfig(system_name='He', box_length=5.0, batch_size=64,
+                    spline_degree=4, num_knots=8, n_flow_layers=1,
+                    n_spline_base_mesh_points=400, log_every=10_000,
+                    window=10, learning_rate=3e-3,
+                    save_dir='/tmp/vmc_eval_test')
+    t = VMCTrainer(cfg)
+    t.train(num_epochs=30, verbose=False)
+
+    ev = evaluate_trainer(t, n_blocks=16, sweeps_per_block=10,
+                          n_warmup_sweeps=50, batch_size=512)
+    assert np.isfinite(ev.e_mean) and ev.e_stderr > 0
+    assert ev.block_means.shape == (16,)
+    assert 0.05 < ev.accept_rate < 0.95
+
+    # independent check: clipped mean over a large exact ancestral batch
+    batch = t.sample_jit(jax.random.PRNGKey(11), t.params, 4096)
+    e = np.asarray(t.h_fn(t.params, batch)[:, 0]
+                   / _safe_psi(t.psi(t.params, batch)))
+    center = np.median(e)
+    mad = np.mean(np.abs(e - center))
+    e_anc = float(np.clip(e, center - 5 * mad, center + 5 * mad).mean())
+    assert abs(ev.e_clipped - e_anc) < max(6 * ev.e_clipped_stderr, 0.2), \
+        (ev.e_clipped, e_anc, ev.e_clipped_stderr)
 
 
 def test_sr_matrix_vector_product_matches_explicit():

@@ -153,7 +153,9 @@ def make_sharded_mcmc_window(psi, h_fn, log_pdf, optimizer, window: int,
                              n_sweeps: int = 10,
                              target_accept: float = 0.5,
                              axis_name: str = WALKER_AXIS,
-                             estimator: str = 'clipped_score'):
+                             estimator: str = 'clipped_score',
+                             sort_fermions: bool = True,
+                             train_step=None):
     """Walker-sharded Metropolis-driven VMC window.
 
     Walker positions and log-probs are sharded over the walker axis; the
@@ -172,7 +174,8 @@ def make_sharded_mcmc_window(psi, h_fn, log_pdf, optimizer, window: int,
     init_fn, local_window = make_mcmc_train_window(
         psi, h_fn, log_pdf, optimizer, window, box_length,
         n_sweeps=n_sweeps, target_accept=target_accept,
-        pmean_axis=axis_name, estimator=estimator)
+        pmean_axis=axis_name, estimator=estimator,
+        sort_proposals=sort_fermions, train_step=train_step)
 
     def local(params, opt_state, keys, baseline, mstate):
         params, opt_state, rng, new_baseline, losses, mstate = local_window(
@@ -185,6 +188,41 @@ def make_sharded_mcmc_window(psi, h_fn, log_pdf, optimizer, window: int,
         local, mesh=mesh,
         in_specs=(P(), P(), P(axis_name), P(), in_state_spec),
         out_specs=(P(), P(), P(axis_name), P(), P(), in_state_spec),
+        check_vma=False)
+    return init_fn, jax.jit(mapped)
+
+
+def make_sharded_mala_window(psi, h_fn, log_pdf, optimizer, window: int,
+                             box_length: float, mesh: Mesh,
+                             n_sweeps: int = 10,
+                             target_accept: float = 0.574,
+                             axis_name: str = WALKER_AXIS,
+                             estimator: str = 'clipped_score',
+                             sort_fermions: bool = True,
+                             train_step=None):
+    """Walker-sharded MALA-driven VMC window (vmc/mala.py): positions,
+    log-probs, and drift gradients sharded over the walker axis; acceptance
+    statistics pmean-reduced into one collective step size; gradients and
+    clip statistics reduced as in the ancestral window."""
+    from waveflow_tpu.vmc.mala import MALAState, make_mala_train_window
+
+    init_fn, local_window = make_mala_train_window(
+        psi, h_fn, log_pdf, optimizer, window, box_length,
+        n_sweeps=n_sweeps, target_accept=target_accept,
+        pmean_axis=axis_name, estimator=estimator,
+        sort_fermions=sort_fermions, train_step=train_step)
+
+    def local(params, opt_state, keys, baseline, mstate):
+        params, opt_state, rng, new_baseline, losses, mstate = local_window(
+            params, opt_state, keys[0], baseline, mstate)
+        return params, opt_state, rng[None], new_baseline, losses, mstate
+
+    state_spec = MALAState(P(axis_name), P(axis_name), P(axis_name),
+                           P(), P())
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(), state_spec),
+        out_specs=(P(), P(), P(axis_name), P(), P(), state_spec),
         check_vma=False)
     return init_fn, jax.jit(mapped)
 

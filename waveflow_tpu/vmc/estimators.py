@@ -55,18 +55,28 @@ def _local_energy_jvp(primals, tangents):
 def make_loss_fn(psi, h_fn, estimator: str = 'clipped_score',
                  clip_scale: float = 5.0,
                  energy_clip: float | None = None,
-                 pmean_axis=None):
+                 pmean_axis=None,
+                 clip_stat: str = 'mean_abs'):
     """loss(params, batch, baseline) -> scalar; gradient is the VMC
     energy-gradient estimator selected by ``estimator``:
 
     'clipped_score' (default, the modern standard — FermiNet/PauliNet
     style): since E(θ) = E_{|ψ|²}[E_L] and the Hermitian term vanishes in
     expectation, the exact gradient is 2 E[(E_L − E)·∂log|ψ|].  We clip
-    E_L to median ± clip_scale × MAD *of the batch* before centering: the
-    clip window follows the data, so runaway near-node walkers are tamed
-    without the runaway bias a fixed absolute clip invites (a fixed ±100
-    clip lets the optimizer park mass where E_L pegs the negative rail —
-    observed as reported energies far below the exact ground state).
+    E_L to a batch-adaptive window around the batch median before
+    centering: the clip window follows the data, so runaway near-node
+    walkers are tamed without the runaway bias a fixed absolute clip
+    invites (a fixed ±100 clip lets the optimizer park mass where E_L pegs
+    the negative rail — observed as reported energies far below the exact
+    ground state).  ``clip_stat`` selects the deviation statistic:
+
+      'mean_abs' (default): median ± clip_scale × mean|E_L − median| —
+        the *mean* absolute deviation about the median (FermiNet's choice;
+        note this is NOT the conventional "MAD" = median absolute
+        deviation, a round-2 docs finding);
+      'median_abs': median ± clip_scale × median|E_L − median| — the
+        conventional MAD; a tighter window on heavy-tailed batches.
+
     stop_gradient on E_L also means no third derivatives flow — the
     backward pass is substantially cheaper than the reference's.
     Reported value: the clipped batch mean (robust).
@@ -88,6 +98,9 @@ def make_loss_fn(psi, h_fn, estimator: str = 'clipped_score',
 
     if estimator != 'clipped_score':
         raise ValueError(f"unknown estimator {estimator!r}")
+    if clip_stat not in ('mean_abs', 'median_abs'):
+        raise ValueError(f"unknown clip_stat {clip_stat!r}")
+    dev_stat = jnp.mean if clip_stat == 'mean_abs' else jnp.median
 
     def loss_fn(params, batch, baseline):
         psi_val = psi(params, batch)
@@ -95,13 +108,13 @@ def make_loss_fn(psi, h_fn, estimator: str = 'clipped_score',
         e_loc = jax.lax.stop_gradient(
             energies_val / _safe_psi(psi_val))
         # clipping statistics over the *global* walker population: under a
-        # walker-sharded mesh the median/MAD must agree across devices or
+        # walker-sharded mesh the center/width must agree across devices or
         # each shard clips in its own window and the pmean'd gradient no
         # longer matches the single-device estimator
         e_stat = (jax.lax.all_gather(e_loc, pmean_axis, tiled=True)
                   if pmean_axis is not None else e_loc)
         center = jnp.median(e_stat)
-        mad = jnp.mean(jnp.abs(e_stat - center))
+        mad = dev_stat(jnp.abs(e_stat - center))
         e_c = jnp.clip(e_loc, center - clip_scale * mad,
                        center + clip_scale * mad)
         e_c_mean = jnp.mean(jnp.clip(e_stat, center - clip_scale * mad,
@@ -118,14 +131,16 @@ def make_loss_fn(psi, h_fn, estimator: str = 'clipped_score',
 
 def make_train_step(psi, h_fn, optimizer, pmean_axis=None,
                     estimator: str = 'clipped_score',
-                    energy_clip: float | None = None):
+                    energy_clip: float | None = None,
+                    clip_stat: str = 'mean_abs'):
     """Jitted training step: value_and_grad of the fused estimator + optax.
 
     If ``pmean_axis`` is given the loss and gradients are averaged over that
     named mesh axis (walker-sharded data parallelism — new capability, the
     reference is single-device only, SURVEY §2)."""
     loss_fn = make_loss_fn(psi, h_fn, estimator=estimator,
-                           energy_clip=energy_clip, pmean_axis=pmean_axis)
+                           energy_clip=energy_clip, pmean_axis=pmean_axis,
+                           clip_stat=clip_stat)
 
     def step(params, opt_state, batch, baseline):
         loss_val, grads = jax.value_and_grad(loss_fn)(params, batch, baseline)
@@ -142,7 +157,8 @@ def make_train_step(psi, h_fn, optimizer, pmean_axis=None,
 def make_train_window(psi, h_fn, sample_fn, optimizer, batch_size: int,
                       window: int, pmean_axis=None,
                       estimator: str = 'clipped_score',
-                      energy_clip: float | None = None):
+                      energy_clip: float | None = None,
+                      clip_stat: str = 'mean_abs'):
     """Fuse `window` sample+update epochs into one on-device lax.scan.
 
     The reference dispatches two device calls per epoch and syncs the loss
@@ -156,7 +172,8 @@ def make_train_window(psi, h_fn, sample_fn, optimizer, batch_size: int,
       (params, opt_state, rng, new_baseline, losses (window,)).
     """
     step = make_train_step(psi, h_fn, optimizer, pmean_axis=pmean_axis,
-                           estimator=estimator, energy_clip=energy_clip)
+                           estimator=estimator, energy_clip=energy_clip,
+                           clip_stat=clip_stat)
 
     def run_window(params, opt_state, rng, baseline):
         def body(carry, _):

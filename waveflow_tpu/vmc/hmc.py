@@ -24,6 +24,10 @@ class HMCState(NamedTuple):
     log_step_bar: jnp.ndarray
     h_bar: jnp.ndarray
     iteration: jnp.ndarray
+    # dual-averaging anchor mu = log(10 * eps0), fixed at init from the
+    # caller's step size (Hoffman & Gelman 2014 Alg. 6) — a hard-coded
+    # anchor would drag warmup toward the same step regardless of eps0
+    mu: jnp.ndarray
 
 
 def make_hmc_sampler(log_prob_fn: Callable, n_leapfrog: int = 16,
@@ -33,10 +37,10 @@ def make_hmc_sampler(log_prob_fn: Callable, n_leapfrog: int = 16,
     grad_fn = jax.vmap(jax.grad(lambda x: log_prob_fn(x[None])[0]))
 
     def init_fn(position, step_size=0.1):
-        return HMCState(position, log_prob_fn(position),
-                        jnp.asarray(step_size),
-                        jnp.log(jnp.asarray(step_size)), jnp.zeros(()),
-                        jnp.zeros(()))
+        eps0 = jnp.asarray(step_size, jnp.float32)
+        return HMCState(position, log_prob_fn(position), eps0,
+                        jnp.log(eps0), jnp.zeros(()), jnp.zeros(()),
+                        jnp.log(10.0 * eps0))
 
     def leapfrog(position, momentum, step_size):
         def body(carry, _):
@@ -68,16 +72,16 @@ def make_hmc_sampler(log_prob_fn: Callable, n_leapfrog: int = 16,
             # Nesterov dual averaging: log_eps_t = mu - sqrt(t)/gamma * h_bar
             t = state.iteration + 1
             gamma, kappa = 0.05, 0.75
-            mu = jnp.log(10.0 * 0.1)   # log(10 * eps0), eps0 = 0.1
             h_bar = (1 - 1 / (t + 10)) * state.h_bar + \
                 (target_accept - accept_prob) / (t + 10)
-            log_step = mu - jnp.sqrt(t) / gamma * h_bar
+            log_step = state.mu - jnp.sqrt(t) / gamma * h_bar
             eta = t ** -kappa
             log_step_bar = eta * log_step + (1 - eta) * state.log_step_bar
             return HMCState(position, log_prob, jnp.exp(log_step),
-                            log_step_bar, h_bar, t)
+                            log_step_bar, h_bar, t, state.mu)
         return HMCState(position, log_prob, state.step_size,
-                        state.log_step_bar, state.h_bar, state.iteration)
+                        state.log_step_bar, state.h_bar, state.iteration,
+                        state.mu)
 
     def run_fn(state: HMCState, rng, n_steps: int, n_warmup: int = 0):
         if n_warmup > 0:

@@ -55,7 +55,8 @@ def make_mala_sampler(log_pdf: Callable, target_accept: float = 0.574,
         return MALAState(positions, lp, g, jnp.asarray(step_size),
                          jnp.asarray(target_accept))
 
-    def step_fn(params, state: MALAState, rng) -> MALAState:
+    def step_fn(params, state: MALAState, rng,
+                adapt: bool = True) -> MALAState:
         rng_prop, rng_acc = jax.random.split(rng)
         eps = state.step_size
         noise = jax.random.normal(rng_prop, state.positions.shape)
@@ -79,17 +80,96 @@ def make_mala_sampler(log_pdf: Callable, target_accept: float = 0.574,
         acc_frac = accept.mean()
         if axis_name is not None:
             acc_frac = jax.lax.pmean(acc_frac, axis_name)
-        new_step = eps * jnp.exp(adapt_rate * (acc_frac - target_accept))
+        new_step = eps * jnp.exp(adapt_rate * (acc_frac - target_accept)) \
+            if adapt else eps
         new_rate = 0.9 * state.accept_rate + 0.1 * acc_frac
         return MALAState(new_pos, new_lp, new_grad, new_step, new_rate)
 
-    def run_fn(params, state: MALAState, rng, n_steps: int, thin: int = 1):
+    def run_fn(params, state: MALAState, rng, n_steps: int, thin: int = 1,
+               n_warmup: int = 0):
+        """n_warmup > 0 runs that many *adaptive* sweeps first, then records
+        n_steps sweeps from the frozen kernel — recorded samples come from a
+        fixed (exactly stationary) kernel.  n_warmup == 0 keeps adaptation on
+        throughout (the VMC-training mode, where parameters move every epoch
+        anyway and a frozen step size would go stale)."""
+        if n_warmup > 0:
+            def wbody(state, rng):
+                return step_fn(params, state, rng), None
+            wkeys = jax.random.split(jax.random.fold_in(rng, 0), n_warmup)
+            state, _ = jax.lax.scan(wbody, state, wkeys)
+
         def body(state, rng):
-            state = step_fn(params, state, rng)
+            state = step_fn(params, state, rng, adapt=n_warmup == 0)
             return state, state.positions
 
-        keys = jax.random.split(rng, n_steps)
+        keys = jax.random.split(jax.random.fold_in(rng, 1), n_steps)
         state, trace = jax.lax.scan(body, state, keys)
         return state, trace[::thin]
 
     return init_fn, step_fn, run_fn
+
+
+def make_mala_train_window(psi, h_fn, log_pdf, optimizer, window: int,
+                           box_length: float, n_sweeps: int = 10,
+                           target_accept: float = 0.574,
+                           pmean_axis: str | None = None,
+                           estimator: str = 'clipped_score',
+                           energy_clip: float | None = None,
+                           sort_fermions: bool = True,
+                           train_step=None):
+    """Fused MALA-driven VMC training window (same contract as
+    metropolis.make_mcmc_train_window — the trainer treats them
+    interchangeably via ``VMCConfig(sampler='mala')``).
+
+    Unlike random-walk Metropolis (which projects proposals into the
+    ordered sector), MALA runs in the *full* coordinate space on the
+    permutation-symmetrized density log p(x) = log_pdf(sort(x)): the
+    symmetrized density is a genuine density on R^n (smooth a.e., gradient
+    = permuted gradient at the sorted point via JAX's differentiable sort),
+    so the asymmetric-kernel correction stays exact — no quotient-space
+    bookkeeping.  Walkers are sorted only when handed to the train step
+    (E_L is permutation-invariant; ψ/h_fn expect the ordered sector).
+    ``sort_fermions=False`` for 'independent' coordinate maps.
+    """
+    from waveflow_tpu.vmc.estimators import make_train_step
+
+    if sort_fermions:
+        lp = lambda params, x: log_pdf(params, jnp.sort(x, axis=-1))
+        to_sector = lambda x: jnp.sort(x, axis=-1)
+    else:
+        lp = log_pdf
+        to_sector = lambda x: x
+
+    init_fn, step_fn, _ = make_mala_sampler(
+        lp, target_accept=target_accept, axis_name=pmean_axis,
+        bounds=(-box_length, box_length))
+    if train_step is None:
+        train_step = make_train_step(
+            psi, h_fn, optimizer, pmean_axis=pmean_axis,
+            estimator=estimator, energy_clip=energy_clip)
+
+    def run_window(params, opt_state, rng, baseline, mstate):
+        def body(carry, _):
+            params, opt_state, rng, mstate = carry
+            rng, k = jax.random.split(rng)
+
+            def sweep(st, kk):
+                return step_fn(params, st, kk), None
+
+            mstate, _ = jax.lax.scan(sweep, mstate,
+                                     jax.random.split(k, n_sweeps))
+            params, opt_state, loss = train_step(
+                params, opt_state, to_sector(mstate.positions), baseline)
+            # refresh log-probs AND drift gradients under the new params so
+            # next epoch's acceptance ratios target the current density
+            # (init_fn recomputes both with the sampler's own drift clip)
+            fresh = init_fn(params, mstate.positions, mstate.step_size)
+            mstate = mstate._replace(log_prob=fresh.log_prob,
+                                     grad=fresh.grad)
+            return (params, opt_state, rng, mstate), loss
+
+        (params, opt_state, rng, mstate), losses = jax.lax.scan(
+            body, (params, opt_state, rng, mstate), None, length=window)
+        return params, opt_state, rng, losses.mean(), losses, mstate
+
+    return init_fn, run_window

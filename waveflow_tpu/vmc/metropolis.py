@@ -93,7 +93,9 @@ def make_mcmc_train_window(psi, h_fn, log_pdf, optimizer, window: int,
                            target_accept: float = 0.5,
                            pmean_axis: str | None = None,
                            estimator: str = 'clipped_score',
-                           energy_clip: float | None = None):
+                           energy_clip: float | None = None,
+                           sort_proposals: bool = True,
+                           train_step=None):
     """Fused Metropolis-driven VMC training window (north-star VMC loop:
     "Metropolis walkers, collective step-size adaptation", BASELINE.json).
 
@@ -107,18 +109,28 @@ def make_mcmc_train_window(psi, h_fn, log_pdf, optimizer, window: int,
     current density.  When ``pmean_axis`` is set, acceptance statistics
     are pmean-reduced so every device adapts one collective step size.
 
+    ``sort_proposals`` projects every proposal into the ordered sector
+    (identical 1D fermions); pass False for per-dimension coordinate maps
+    ('independent', any n_space_dimension) where no quotient exists.
+    ``train_step`` overrides the parameter update (same (params, opt_state,
+    batch, baseline) -> (params, opt_state, loss) contract) — e.g. a
+    stochastic-reconfiguration step from vmc/sr.py.
+
     Returns (init_fn, run_window) where run_window(params, opt_state, rng,
     baseline, mstate) -> (params, opt_state, rng, new_baseline, losses,
     mstate).
     """
     from waveflow_tpu.vmc.estimators import make_train_step
 
-    sort_cols = lambda x: jnp.sort(x, axis=-1)
+    proposal_map = (lambda x: jnp.sort(x, axis=-1)) if sort_proposals \
+        else None
     init_fn, step_fn, _ = make_metropolis_sampler(
         log_pdf, target_accept=target_accept, axis_name=pmean_axis,
-        bounds=(-box_length, box_length), proposal_map=sort_cols)
-    train_step = make_train_step(psi, h_fn, optimizer, pmean_axis=pmean_axis,
-                                 estimator=estimator, energy_clip=energy_clip)
+        bounds=(-box_length, box_length), proposal_map=proposal_map)
+    if train_step is None:
+        train_step = make_train_step(
+            psi, h_fn, optimizer, pmean_axis=pmean_axis,
+            estimator=estimator, energy_clip=energy_clip)
 
     def run_window(params, opt_state, rng, baseline, mstate):
         def body(carry, _):

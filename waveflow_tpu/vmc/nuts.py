@@ -42,6 +42,9 @@ class NUTSState(NamedTuple):
     log_step_bar: jnp.ndarray
     h_bar: jnp.ndarray
     iteration: jnp.ndarray
+    # anchor mu = log(10 * eps0) from the caller's init step size
+    # (Hoffman & Gelman 2014 Alg. 6)
+    mu: jnp.ndarray
 
 
 def _slot(i: jnp.ndarray, top: int) -> jnp.ndarray:
@@ -190,10 +193,10 @@ def make_nuts_sampler(log_prob_fn: Callable, max_tree_depth: int = 8,
     batched_step = jax.vmap(_single_nuts_step, in_axes=(0, 0, None))
 
     def init_fn(position, step_size=0.1):
-        return NUTSState(position, log_prob_fn(position),
-                         jnp.asarray(step_size),
-                         jnp.log(jnp.asarray(step_size)), jnp.zeros(()),
-                         jnp.zeros(()))
+        eps0 = jnp.asarray(step_size, jnp.float32)
+        return NUTSState(position, log_prob_fn(position), eps0,
+                         jnp.log(eps0), jnp.zeros(()), jnp.zeros(()),
+                         jnp.log(10.0 * eps0))
 
     def step_fn(state: NUTSState, rng, warmup: bool = False) -> NUTSState:
         keys = random.split(rng, state.position.shape[0])
@@ -206,16 +209,16 @@ def make_nuts_sampler(log_prob_fn: Callable, max_tree_depth: int = 8,
             # same Nesterov dual averaging as hmc.py
             t = state.iteration + 1
             gamma, kappa = 0.05, 0.75
-            mu = jnp.log(10.0 * 0.1)
             h_bar = (1 - 1 / (t + 10)) * state.h_bar + \
                 (target_accept - accept_prob) / (t + 10)
-            log_step = mu - jnp.sqrt(t) / gamma * h_bar
+            log_step = state.mu - jnp.sqrt(t) / gamma * h_bar
             eta = t ** -kappa
             log_step_bar = eta * log_step + (1 - eta) * state.log_step_bar
             return NUTSState(position, log_prob, jnp.exp(log_step),
-                             log_step_bar, h_bar, t)
+                             log_step_bar, h_bar, t, state.mu)
         return NUTSState(position, log_prob, state.step_size,
-                         state.log_step_bar, state.h_bar, state.iteration)
+                         state.log_step_bar, state.h_bar, state.iteration,
+                         state.mu)
 
     def run_fn(state: NUTSState, rng, n_steps: int, n_warmup: int = 0):
         if n_warmup > 0:

@@ -13,8 +13,9 @@ S·v product costs one jvp + one vjp of log|ψ| over the walker batch
 (pytree-native, works at any parameter count), fused into the same
 scan-window machinery as the ADAM path.
 
-Gradient estimator: the same median±MAD-clipped centered score weights as
-estimators.make_loss_fn('clipped_score'):  g = 2 E[(E_L^clip − Ē) O].
+Gradient estimator: the same batch-adaptive-clipped centered score weights
+as estimators.make_loss_fn('clipped_score') (median ± 5×mean|E_L−median|):
+g = 2 E[(E_L^clip − Ē) O].
 Under a walker-sharded mesh pass ``pmean_axis``: every batch expectation
 (g, Ō, and each CG matrix-vector product) is pmean-reduced, so all devices
 run an identical CG on the global-batch geometry.

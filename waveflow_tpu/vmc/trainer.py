@@ -64,6 +64,11 @@ class VMCConfig:
     # energy_clip optionally applies a fixed ±clip there)
     estimator: str = 'clipped_score'
     energy_clip: float | None = None
+    # deviation statistic for the batch-adaptive clip window:
+    # 'mean_abs' (default) = median ± 5×mean|E_L−median| (FermiNet-style;
+    # NOT the conventional MAD); 'median_abs' = true median absolute
+    # deviation (tighter on heavy tails).  A/B'd in RESULTS.md.
+    clip_stat: str = 'mean_abs'
     # walker source: 'ancestral' (exact inverse-CDF draws from |ψ|², the
     # reference's only mode) or 'metropolis' (warm-started MCMC walkers
     # persisted across epochs with collective step-size adaptation — the
@@ -158,10 +163,6 @@ class VMCTrainer:
 
         self.sample_jit = jax.jit(sample, static_argnums=(2,))
         if c.optimizer == 'sr':
-            if c.sampler == 'metropolis':
-                raise NotImplementedError(
-                    "optimizer='sr' currently pairs with the ancestral "
-                    "sampler; use optimizer='adam' with sampler='metropolis'")
             from waveflow_tpu.vmc.sr import (make_sr_train_step,
                                              make_sr_train_window)
             self.optimizer = None
@@ -188,10 +189,12 @@ class VMCTrainer:
             self.step_jit = jax.jit(
                 make_train_step(psi, self.h_fn, self.optimizer,
                                 estimator=c.estimator,
-                                energy_clip=c.energy_clip))
+                                energy_clip=c.energy_clip,
+                                clip_stat=c.clip_stat))
             self.window_jit = jax.jit(make_train_window(
                 psi, self.h_fn, sample, self.optimizer, c.batch_size,
-                c.window, estimator=c.estimator, energy_clip=c.energy_clip))
+                c.window, estimator=c.estimator, energy_clip=c.energy_clip,
+                clip_stat=c.clip_stat))
         else:
             raise ValueError(f"unknown optimizer {c.optimizer!r}")
         self.mesh = None
@@ -213,26 +216,51 @@ class VMCTrainer:
                     c.window, self.mesh, estimator=c.estimator)
 
         self.mcmc_state = None
-        if c.sampler == 'metropolis':
-            if c.n_space_dimension != 1:
-                raise NotImplementedError(
-                    "metropolis sampler assumes the 1D sorted-sector "
-                    "quotient; use sampler='ancestral' for n_space_dimension>1")
+        if c.sampler in ('metropolis', 'mala'):
+            # identical 1D fermions live on the sorted sector; the
+            # 'independent' coordinate map (single-electron systems, any
+            # n_space_dimension) has no quotient, so proposals need no sort
+            sort_fermions = xu_coord_type != 'independent'
+            # SR pairs with the MCMC windows by passing its update as the
+            # window's train_step (same step contract, vmc/sr.py)
+            mcmc_train_step = None
+            if c.optimizer == 'sr':
+                from waveflow_tpu.parallel.mesh import WALKER_AXIS
+                from waveflow_tpu.vmc.sr import make_sr_train_step
+                mcmc_train_step = make_sr_train_step(
+                    psi, self.h_fn, c.learning_rate, damping=c.sr_damping,
+                    cg_iters=c.sr_cg_iters,
+                    pmean_axis=WALKER_AXIS if self.mesh is not None else None)
             if self.mesh is not None:
-                from waveflow_tpu.parallel import make_sharded_mcmc_window
-                self.mcmc_init, self.mcmc_window_jit = \
-                    make_sharded_mcmc_window(
-                        psi, self.h_fn, log_pdf, self.optimizer, c.window,
-                        c.box_length, self.mesh, n_sweeps=c.mcmc_sweeps,
-                        target_accept=c.mcmc_target_accept,
-                        estimator=c.estimator)
+                from waveflow_tpu.parallel import (make_sharded_mala_window,
+                                                   make_sharded_mcmc_window)
+                make_sharded = (make_sharded_mala_window if c.sampler == 'mala'
+                                else make_sharded_mcmc_window)
+                self.mcmc_init, self.mcmc_window_jit = make_sharded(
+                    psi, self.h_fn, log_pdf, self.optimizer, c.window,
+                    c.box_length, self.mesh, n_sweeps=c.mcmc_sweeps,
+                    target_accept=c.mcmc_target_accept,
+                    estimator=c.estimator, sort_fermions=sort_fermions,
+                    train_step=mcmc_train_step)
+            elif c.sampler == 'mala':
+                from waveflow_tpu.vmc.mala import make_mala_train_window
+                self.mcmc_init, mcmc_window = make_mala_train_window(
+                    psi, self.h_fn, log_pdf, self.optimizer, c.window,
+                    c.box_length, n_sweeps=c.mcmc_sweeps,
+                    target_accept=c.mcmc_target_accept,
+                    estimator=c.estimator, energy_clip=c.energy_clip,
+                    sort_fermions=sort_fermions,
+                    train_step=mcmc_train_step)
+                self.mcmc_window_jit = jax.jit(mcmc_window)
             else:
                 from waveflow_tpu.vmc.metropolis import make_mcmc_train_window
                 self.mcmc_init, mcmc_window = make_mcmc_train_window(
                     psi, self.h_fn, log_pdf, self.optimizer, c.window,
                     c.box_length, n_sweeps=c.mcmc_sweeps,
                     target_accept=c.mcmc_target_accept,
-                    estimator=c.estimator, energy_clip=c.energy_clip)
+                    estimator=c.estimator, energy_clip=c.energy_clip,
+                    sort_proposals=sort_fermions,
+                    train_step=mcmc_train_step)
                 self.mcmc_window_jit = jax.jit(mcmc_window)
         elif c.sampler != 'ancestral':
             raise ValueError(f"unknown sampler {c.sampler!r}")
@@ -284,15 +312,37 @@ class VMCTrainer:
         with open(path, 'rb') as f:
             state = pickle.load(f)
         self.params = jax.device_put(state['params'])
-        self.opt_state = jax.device_put(state['opt_state'])
+        restored_opt = state['opt_state']
+        if self.optimizer is not None:
+            # checkpoints written before the optax.flatten change carry a
+            # per-leaf opt_state whose pytree structure no longer matches
+            # the flattened optimizer (ADVICE r2); re-init rather than crash
+            # at the first update (adam moments restart — params/rng/epoch
+            # still resume exactly)
+            fresh = self.optimizer.init(self.params)
+            same = (jax.tree_util.tree_structure(restored_opt)
+                    == jax.tree_util.tree_structure(fresh))
+            if same:
+                self.opt_state = jax.device_put(restored_opt)
+            else:
+                print("load_checkpoint: optimizer state structure changed "
+                      "(pre-flatten checkpoint?) — re-initializing adam "
+                      "moments", flush=True)
+                self.opt_state = fresh
+        else:
+            self.opt_state = jax.device_put(restored_opt)
         self.epoch = state['epoch']
         self.rng = jax.device_put(state['rng'])
         if state.get('walker_keys') is not None:
             self.walker_keys = jax.device_put(state['walker_keys'])
         if state.get('mcmc_state') is not None:
-            from waveflow_tpu.vmc.metropolis import MetropolisState
-            self.mcmc_state = MetropolisState(
-                *(jax.device_put(x) for x in state['mcmc_state']))
+            fields = [jax.device_put(x) for x in state['mcmc_state']]
+            if len(fields) == 5:
+                from waveflow_tpu.vmc.mala import MALAState
+                self.mcmc_state = MALAState(*fields)
+            else:
+                from waveflow_tpu.vmc.metropolis import MetropolisState
+                self.mcmc_state = MetropolisState(*fields)
         loss_path = Path(save_dir) / 'loss.npy'
         if loss_path.exists():
             self.losses = np.load(loss_path).tolist()
@@ -331,7 +381,7 @@ class VMCTrainer:
             # checkpoint cadence aligned to the window grid so traces and
             # checkpoints land on comparable epochs regardless of log_every
             log_stride = max(1, round(c.log_every / c.window))
-            use_mcmc = c.sampler == 'metropolis'
+            use_mcmc = c.sampler in ('metropolis', 'mala')
             if use_mcmc and self.mcmc_state is None:
                 self.mcmc_state = self._init_mcmc_state()
             if self.mesh is not None:
