@@ -132,10 +132,24 @@ def main():
         for side, runner in (('ours', run_ours), ('reference', run_reference)):
             key = f"{side}_{cfg['name']}"
             if key in out:
-                print(f"=== {key} cached, skipping ===", flush=True)
-                continue
+                # resume cache is valid only if the config is unchanged —
+                # editing epochs/knots without renaming must recompute
+                # (ADVICE r2).  Rows from before '_cfg' was recorded were
+                # produced by exactly this CONFIGS list; backfill them.
+                cached_cfg = out[key].get('_cfg')
+                if cached_cfg is None:
+                    out[key]['_cfg'] = cfg
+                    with open(out_path, 'w') as f:
+                        json.dump(out, f, indent=2)
+                    cached_cfg = cfg
+                if cached_cfg == cfg:
+                    print(f"=== {key} cached, skipping ===", flush=True)
+                    continue
+                print(f"=== {key} config changed, recomputing ===",
+                      flush=True)
             print(f"=== {side}: {cfg['name']} ===", flush=True)
             out[key] = runner(X, X_test, cfg)
+            out[key]['_cfg'] = cfg
             print(json.dumps(out[key]), flush=True)
             with open(out_path, 'w') as f:
                 json.dump(out, f, indent=2)

@@ -97,8 +97,20 @@ def test_benchmark_compat_surface(tmp_path):
     assert lp.shape == (16,) and np.isfinite(lp).all()
 
     out = tmp_path / 'bench'
-    compat.train_model(X, model_type='MFlow', spline_reg=0.05,
-                       num_epochs=40, num_layers=1, spline_degree=3,
-                       num_knots=8, log_every=20, save_dir=str(out))
-    assert (out / 'losses.txt').exists()
-    assert (out / 'kl_divergences.txt').exists()
+    # reference-style call: positional (target, num_epochs, n_model_sample)
+    # + reference kwarg names (benchmark_tests.py:87-90); the shim must bind
+    # them identically and honor check_step / num_flow_layer (ADVICE r2)
+    compat.train_model(X, 40, 500, model_type='MFlow',
+                       dataset_name='circles', check_step=20,
+                       spline_reg=0.05, num_flow_layer=1, spline_degree=3,
+                       num_knots=8, save_dir=str(out))
+    run_dir = out / 'circles' / 'MFlow_0.05_1_3_8'
+    assert (run_dir / 'losses.txt').exists()
+    assert (run_dir / 'kl_divergences.txt').exists()
+    # ~40 epochs recorded => check_step was honored, not a 2000 default
+    assert len((run_dir / 'losses.txt').read_text().split()) >= 40
+
+    # unknown kwargs raise instead of silently training a default config
+    import pytest
+    with pytest.raises(TypeError):
+        compat.train_model(X, 10, 100, bogus_option=3)

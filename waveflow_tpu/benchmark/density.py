@@ -78,7 +78,9 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
                         log_every: int = 500, save_dir: str | None = None,
                         n_model_sample: int = 5000, seed: int = 5,
                         n_mesh_points: int = 2000, verbose: bool = True,
-                        X_test: np.ndarray | None = None):
+                        X_test: np.ndarray | None = None,
+                        prior_spline_degree: int = 3,
+                        prior_n_knots: int = 15):
     """MLE-train a density model; returns (params, log_pdf, sample, history).
 
     With ``X_test``, each metric checkpoint also records the held-out mean
@@ -86,7 +88,9 @@ def train_density_model(X: np.ndarray, model_name: str = 'MFlow',
     rng = jax.random.PRNGKey(seed)
     rng, flow_rng = jax.random.split(rng)
     init_fun = get_benchmark_model(model_name, spline_reg, n_flow_layers,
-                                   spline_degree, n_knots, n_mesh_points)
+                                   spline_degree, n_knots, n_mesh_points,
+                                   prior_spline_degree=prior_spline_degree,
+                                   prior_n_knots=prior_n_knots)
     params, log_pdf, sample = init_fun(flow_rng, X.shape[-1])
 
     opt = optax.adam(learning_rate)

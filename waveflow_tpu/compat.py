@@ -211,17 +211,33 @@ def get_model(model_type, spline_reg, spline_degree=3, num_knots=15,
         prior_n_knots=prior_num_knots)
 
 
-def train_model(X, model_type='MFlow', spline_reg=0.05, num_epochs=80_000,
-                learning_rate=1e-4, num_layers=3, spline_degree=5,
-                num_knots=15, log_every=2000, save_dir=None, **_ignored):
-    """Drop-in for waveflow.benchmark_tests.train_model (benchmark_tests.py:
-    87-147): MLE training with periodic KDE-metric checkpoints, saving the
-    reference's artifact files (losses.txt, kl_divergences.txt, ...) when
-    save_dir is given.  Returns (params, log_pdf, sample)."""
+def train_model(target, num_epochs, n_model_sample, model_type='IFlow',
+                dataset_name='halfmoon', check_step=5000, spline_reg=0.1,
+                input_dim=2, save_dir="./results/benchmarks/", ngrid=300,
+                num_flow_layer=3, spline_degree=5, num_knots=23,
+                prior_spline_degree=3, prior_num_knots=15):
+    """Drop-in for waveflow.benchmark_tests.train_model — SAME positional
+    and keyword signature (benchmark_tests.py:87-90), so reference-style
+    calls bind every argument exactly as upstream; unknown kwargs raise
+    like any Python function instead of being swallowed (ADVICE r2).
+
+    MLE training with periodic KDE-metric checkpoints every ``check_step``
+    epochs, saving the reference's artifact files (losses.txt,
+    kl_divergences.txt, ...) under the reference's save-dir naming scheme
+    (benchmark_tests.py:112-116).  Returns (params, log_pdf, sample)."""
     from waveflow_tpu.benchmark.density import train_density_model
+    del input_dim, ngrid    # fixed by the data / metric grid here
+    if model_type == 'Flow':
+        data_save_dir = f"{save_dir}/{dataset_name}/{model_type}_{num_flow_layer}"
+    else:
+        data_save_dir = (f"{save_dir}/{dataset_name}/{model_type}_{spline_reg}"
+                         f"_{num_flow_layer}_{spline_degree}_{num_knots}")
     params, log_pdf, sample, _hist = train_density_model(
-        X, model_name=model_type, num_epochs=num_epochs,
-        learning_rate=learning_rate, spline_reg=spline_reg,
-        n_flow_layers=num_layers, spline_degree=spline_degree,
-        n_knots=num_knots, log_every=log_every, save_dir=save_dir)
+        target, model_name=model_type, num_epochs=num_epochs,
+        spline_reg=spline_reg, n_flow_layers=num_flow_layer,
+        spline_degree=spline_degree, n_knots=num_knots,
+        log_every=check_step, save_dir=data_save_dir,
+        n_model_sample=n_model_sample,
+        prior_spline_degree=prior_spline_degree,
+        prior_n_knots=prior_num_knots)
     return params, log_pdf, sample

@@ -66,8 +66,11 @@ def save_wavefunction_artifacts(save_dir: str, psi, sample, params, epoch: int,
 
     # on-proton slice (75-84); protonless box systems have no anchor to slice
     if np.asarray(protons).size:
-        x = np.ones((ngrid, x.shape[1]), dtype=np.float32) \
-            * np.asarray(protons)[0, 0]
+        # anchor EVERY particle at the full first-proton row — filling all
+        # columns with protons[0,0] would pin the y coordinate of a 2D
+        # system at the proton's x value (ADVICE r2, off-origin protons)
+        row = np.asarray(protons, dtype=np.float32)[0].ravel()
+        x = np.tile(row, (ngrid, x.shape[1] // row.size))
         x[:, 0] = line
         z = eval_fn(jnp.asarray(x))
         np.save(de_dir / f'onproton_values_epoch{epoch}.npy', z)
