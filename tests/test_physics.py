@@ -265,6 +265,43 @@ def test_exact_2d_1e_hydrogen_grid_stable():
     assert abs(e150 - e100) < 1e-4
 
 
+def test_exact_2d_2e_free_fermions_matches_analytic():
+    """2D two-fermion ED (antisymmetric site-pair basis) with no protons and
+    no interactions reproduces the analytic 2-fermion 2D box ground energy
+    E = pi²/(2W²)·(2 + 5) — levels (1,1) + (1,2) — with O(h²) convergence
+    (Richardson on two grids lands within ~1e-4)."""
+    from waveflow_tpu.physics import exact_ground_state_2d_2e
+    L = 3.0
+    analytic = np.pi ** 2 / (2 * (2 * L) ** 2) * 7.0
+    e16, psi, sites, x = exact_ground_state_2d_2e(
+        np.array([]), L, n_grid=16, interactions=False)
+    e24, _, _, _ = exact_ground_state_2d_2e(
+        np.array([]), L, n_grid=24, interactions=False)
+    # raw O(h²) error shrinks like (17/25)² between the two grids
+    assert abs(e24 - analytic) < abs(e16 - analytic) * 0.6
+    # Richardson extrapolation in h² (h ∝ 1/(n+1))
+    r = ((16 + 1) / (24 + 1)) ** -2
+    e_extrap = e24 + (e24 - e16) / (r - 1)
+    assert abs(e_extrap - analytic) < 2e-4, (e_extrap, analytic)
+    # normalization: 2 Σ ψ² h⁴ = 1
+    h = x[1] - x[0]
+    np.testing.assert_allclose(2.0 * (psi ** 2).sum() * h ** 4, 1.0,
+                               rtol=1e-6)
+
+
+def test_exact_2d_2e_interaction_raises_energy():
+    """Pair repulsion is positive: interacting 2D He ground energy sits
+    above the non-interacting one, and both lie below 2× the 1-electron
+    He+ energy plus interaction bound (sanity ordering)."""
+    from waveflow_tpu.physics import exact_ground_state_2d_2e
+    protons = [[0.0, 0.0], [0.0, 0.0]]
+    e_int, _, _, _ = exact_ground_state_2d_2e(protons, 4.0, n_grid=20)
+    e_free, _, _, _ = exact_ground_state_2d_2e(protons, 4.0, n_grid=20,
+                                               interactions=False)
+    assert e_int > e_free
+    assert e_int < 0.0   # still bound
+
+
 def test_fidelity_ed_self_overlap_and_model():
     """fidelity helpers: the ED state against an exact functional copy of
     itself gives overlap 1; an untrained tiny model gives a valid overlap

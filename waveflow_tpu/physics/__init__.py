@@ -10,5 +10,6 @@ from waveflow_tpu.physics.fermion import (
 )
 from waveflow_tpu.physics.exact import (
     exact_free_fermion_energy, exact_ground_state_1d, exact_ground_state_1p,
-    exact_ground_state_2d_1e, exact_ground_state_2p, exact_ground_state_3p,
+    exact_ground_state_2d_1e, exact_ground_state_2d_2e,
+    exact_ground_state_2p, exact_ground_state_3p,
 )

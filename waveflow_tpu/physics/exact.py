@@ -182,6 +182,95 @@ def exact_ground_state_2d_1e(protons, box_length: float, n_grid: int = 200):
     return float(evals[0]), psi, x
 
 
+def exact_ground_state_2d_2e(protons, box_length: float, n_grid: int = 40,
+                             interactions: bool = True):
+    """Ground state of TWO spinless fermions in the 2D box [-L, L]²:
+    (energy, psi_pairs (m,), sites (N, 2), x).
+
+    Sparse ED in the antisymmetric-pair basis over grid *sites*
+    { (s_a, s_b) : a < b }, N = n_grid² sites, m = N(N-1)/2 pair states
+    (~1.3M at the default 40×40 grid; H has ≤ 9 nonzeros per row).  This is
+    the oracle the reference's 2D He / H2 catalogue entries never had
+    (its potential is 1D-only, physics.py:62 TODO) — any future
+    permutation-equivariant 2D ansatz validates against it (VERDICT r2
+    item 3).
+
+    Unlike the 1D ordered-tuple bases, a ±1 hop in the linearized site
+    ordering can pass the other particle, so the exchange sign is tracked
+    explicitly: hopping to a state with swapped site order picks up −1;
+    hopping onto the partner's site vanishes by antisymmetry.
+
+    psi_pairs is normalized so 2 Σ_{a<b} ψ² h⁴ = 1 (full-square
+    normalization with antisymmetry); sites[s] = (x_i, y_j) for site s.
+    """
+    x = np.linspace(-box_length, box_length, n_grid + 2)[1:-1]
+    n = len(x)
+    h = x[1] - x[0]
+    N = n * n
+    xx, yy = np.meshgrid(x, x, indexing='ij')
+    sites = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=1)   # (N, 2)
+
+    protons = np.asarray(protons, dtype=float).reshape(-1, 2) \
+        if np.asarray(protons).size else np.zeros((0, 2))
+    v1 = np.zeros(N)
+    for p in protons:
+        v1 -= 1.0 / np.sqrt(1.0 + ((sites - p) ** 2).sum(-1))
+
+    # antisymmetric-pair basis over sites, a < b
+    a_idx, b_idx = np.triu_indices(N, k=1)
+    pairs = np.stack([a_idx, b_idx], axis=1).astype(np.int32)    # (m, 2)
+    m = len(pairs)
+    # closed-form rank of pair (a, b), a < b, in row-major triu order:
+    # rank(a, b) = a*N - a(a+1)/2 + (b - a - 1)   (avoids an N×N table)
+    def rank_of(a, b):
+        a = a.astype(np.int64)
+        return a * N - a * (a + 1) // 2 + (b - a - 1)
+
+    diag = (4.0 / h ** 2) + v1[pairs[:, 0]] + v1[pairs[:, 1]]
+    if interactions:
+        d2 = ((sites[pairs[:, 0]] - sites[pairs[:, 1]]) ** 2).sum(-1)
+        diag = diag + 1.0 / np.sqrt(1.0 + d2)
+
+    rows = [np.arange(m, dtype=np.int64)]
+    cols = [np.arange(m, dtype=np.int64)]
+    vals = [diag]
+    off = -0.5 / h ** 2
+    # site s = i*n + j; hops: i±1 (s±n, any), j±1 (s±1, only within the row)
+    site_i = np.arange(N) // n
+    site_j = np.arange(N) % n
+
+    def neighbor(s, d):
+        """Neighbor site index or -1 if off-grid; d in {+n,-n,+1,-1}."""
+        t = s + d
+        if abs(d) == 1:
+            ok = (site_j[s] + d >= 0) & (site_j[s] + d < n)
+        else:
+            ok = (t >= 0) & (t < N)
+        return np.where(ok, t, -1)
+
+    src_all = np.arange(m, dtype=np.int64)
+    for p in (0, 1):
+        for d in (n, -n, 1, -1):
+            new = pairs.copy().astype(np.int64)
+            new[:, p] = neighbor(pairs[:, p], d)
+            ok = (new[:, p] >= 0) & (new[:, 0] != new[:, 1])
+            na, nb = new[ok, 0], new[ok, 1]
+            swapped = na > nb
+            lo = np.where(swapped, nb, na)
+            hi = np.where(swapped, na, nb)
+            rows.append(src_all[ok])
+            cols.append(rank_of(lo, hi))
+            vals.append(np.where(swapped, -off, off))
+
+    H = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(m, m)).tocsr()
+    evals, evecs = eigsh(H, k=1, which='SA')
+    psi = evecs[:, 0]
+    psi = psi / np.sqrt(2.0 * (psi ** 2).sum() * h ** 4)
+    return float(evals[0]), psi, sites, x
+
+
 def exact_free_fermion_energy(n_electrons: int, box_length: float) -> float:
     """Exact ground energy of n non-interacting spinless fermions in the box
     [-L, L] with Dirichlet walls: the n lowest particle-in-a-box levels,
