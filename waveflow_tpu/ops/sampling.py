@@ -133,7 +133,8 @@ def sample_squared_amplitude(evaluator: SplineEvaluator,
                              coeffs: jnp.ndarray,
                              u: jnp.ndarray,
                              n_bisect: int = 12,
-                             n_newton: int = 3) -> jnp.ndarray:
+                             n_newton: int = 3,
+                             impl: str = 'auto') -> jnp.ndarray:
     """Inverse-CDF sample of p(x) ∝ (w·T(x))², ψ piecewise linear.
 
     Replaces the squared-B-spline rejection sampler (bsplines_jax.py:144-169).
@@ -143,7 +144,21 @@ def sample_squared_amplitude(evaluator: SplineEvaluator,
     derivative vanishes, Newton converges quadratically elsewhere — 12+3
     exceeds f32 resolution away from nodes, and nodal cells carry
     vanishing probability mass so their in-cell error is immaterial).
+
+    ``impl``: 'auto' routes 2D (batch, n_bases) coefficient batches to the
+    fused Pallas kernel (ops/pallas_sampler.py) on non-CPU backends — the
+    whole chain runs in VMEM and never materializes the (batch, n_mesh)
+    intermediates in HBM; measured on v5e: 1.05x at batch 256 up to 3.3x
+    at 65536 vs this XLA path, samples agree to <6e-5 (≈0.1 mesh cell,
+    f32 prefix-sum association order).  'xla' / 'pallas' force a path.
     """
+    if impl == 'auto':
+        impl = ('pallas' if coeffs.ndim == 2
+                and jax.default_backend() != 'cpu' else 'xla')
+    if impl == 'pallas':
+        from waveflow_tpu.ops.pallas_sampler import (
+            pallas_sample_squared_amplitude)
+        return pallas_sample_squared_amplitude(evaluator, coeffs, u)
     psi = evaluator.density_on_mesh(coeffs)                      # (B, P)
     P = psi.shape[-1]
     h = 1.0 / (P - 1)
