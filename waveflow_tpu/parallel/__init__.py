@@ -4,8 +4,9 @@ from waveflow_tpu.parallel.mesh import (
 )
 from waveflow_tpu.parallel.sharding import (
     make_sharded_mala_window, make_sharded_mcmc_window, make_sharded_sampler,
-    make_sharded_sr_window, make_sharded_train_step,
-    make_sharded_train_window, psum_mean, shard_batch,
+    make_sharded_spring_window, make_sharded_sr_window,
+    make_sharded_train_step, make_sharded_train_window, psum_mean,
+    shard_batch,
 )
 from waveflow_tpu.parallel.resample import (
     resample_walkers_sharded, systematic_indices,

@@ -148,6 +148,40 @@ def make_sharded_sr_window(psi, h_fn, sample_fn, learning_rate: float,
     return jax.jit(mapped)
 
 
+def make_sharded_spring_window(psi, h_fn, sample_fn, learning_rate: float,
+                               global_batch: int, window: int, mesh: Mesh,
+                               axis_name: str = WALKER_AXIS,
+                               damping: float = 1e-3,
+                               momentum: float = 0.99):
+    """Walker-sharded min-SR/SPRING window: each device computes its local
+    (B_local, P) score block, the blocks are all-gathered so every device
+    solves the identical global (B, B) Gram system (vmc/sr.py).  The
+    SPRING opt_state (previous flat update) is replicated."""
+    from waveflow_tpu.vmc.estimators import make_window_from_step
+    from waveflow_tpu.vmc.sr import make_spring_train_step
+
+    n_dev = mesh.devices.size
+    if global_batch % n_dev != 0:
+        raise ValueError(
+            f"global_batch {global_batch} not divisible by mesh {n_dev}")
+    local_batch = global_batch // n_dev
+    step = make_spring_train_step(psi, h_fn, learning_rate, damping=damping,
+                                  momentum=momentum, pmean_axis=axis_name)
+    local_window = make_window_from_step(step, sample_fn, local_batch, window)
+
+    def local(params, opt_state, keys, baseline):
+        params, opt_state, rng, new_baseline, losses = local_window(
+            params, opt_state, keys[0], baseline)
+        return params, opt_state, rng[None], new_baseline, losses
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P()),
+        out_specs=(P(), P(), P(axis_name), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def make_sharded_mcmc_window(psi, h_fn, log_pdf, optimizer, window: int,
                              box_length: float, mesh: Mesh,
                              n_sweeps: int = 10,

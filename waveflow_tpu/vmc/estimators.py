@@ -154,6 +154,27 @@ def make_train_step(psi, h_fn, optimizer, pmean_axis=None,
     return step
 
 
+def make_window_from_step(step, sample_fn, batch_size: int, window: int):
+    """Fuse `window` sample+update epochs of an arbitrary train step (same
+    (params, opt_state, batch, baseline) -> (params, opt_state, loss)
+    contract) into one on-device lax.scan — the generic core shared by the
+    adam, SR, and SPRING windows."""
+
+    def run_window(params, opt_state, rng, baseline):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            batch = sample_fn(k, params, batch_size)
+            params, opt_state, loss = step(params, opt_state, batch, baseline)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=window)
+        return params, opt_state, rng, losses.mean(), losses
+
+    return run_window
+
+
 def make_train_window(psi, h_fn, sample_fn, optimizer, batch_size: int,
                       window: int, pmean_axis=None,
                       estimator: str = 'clipped_score',
@@ -174,20 +195,7 @@ def make_train_window(psi, h_fn, sample_fn, optimizer, batch_size: int,
     step = make_train_step(psi, h_fn, optimizer, pmean_axis=pmean_axis,
                            estimator=estimator, energy_clip=energy_clip,
                            clip_stat=clip_stat)
-
-    def run_window(params, opt_state, rng, baseline):
-        def body(carry, _):
-            params, opt_state, rng = carry
-            rng, k = jax.random.split(rng)
-            batch = sample_fn(k, params, batch_size)
-            params, opt_state, loss = step(params, opt_state, batch, baseline)
-            return (params, opt_state, rng), loss
-
-        (params, opt_state, rng), losses = jax.lax.scan(
-            body, (params, opt_state, rng), None, length=window)
-        return params, opt_state, rng, losses.mean(), losses
-
-    return run_window
+    return make_window_from_step(step, sample_fn, batch_size, window)
 
 
 # --- parity variants -------------------------------------------------------

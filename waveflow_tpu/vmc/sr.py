@@ -87,6 +87,82 @@ def make_sr_train_step(psi, h_fn, learning_rate: float,
     return step
 
 
+def make_spring_train_step(psi, h_fn, learning_rate: float,
+                           damping: float = 1e-3, momentum: float = 0.99,
+                           clip_scale: float = 5.0, pmean_axis=None):
+    """min-SR / SPRING natural-gradient step (TPU-first SR).
+
+    The CG formulation above pays ~2·cg_iters serial jvp/vjp passes through
+    the flow per update — a long dependency chain of small kernels.  For
+    batch ≤ parameter count the same preconditioned update has a closed
+    form in SAMPLE space (min-SR, Chen & Heyl 2023; SPRING momentum
+    variant, Goldshlager/Abrahamsen/Lin 2024):
+
+        δ = Ō^T (Ō Ō^T + B·λ I)^{-1} ζ + μ δ_prev,
+        ζ = 2(E_L^clip − Ē) − Ō (μ δ_prev),
+
+    with Ō the (B, P) CENTERED per-sample score matrix O_k = ∂_k log|ψ|.
+    That is two MXU matmuls + one (B, B) Cholesky solve — no serial CG.
+    μ = 0 recovers plain min-SR (mathematically the same update as the CG
+    path at exact convergence, tested in tests/test_vmc.py).
+
+    opt_state = flattened previous update δ_prev (zeros to start);
+    signature matches make_train_step so the fused windows and the MCMC
+    windows accept it via train_step=...
+
+    Under a walker-sharded mesh (``pmean_axis``): every device needs the
+    GLOBAL (B, B) Gram matrix, so the local (B_local, P) score blocks are
+    all-gathered along the axis (cheap: P is a few thousand here) and the
+    solve is replicated — devices stay in lockstep like the CG path.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def step(params, opt_state, batch, baseline):
+        flat0, unravel = ravel_pytree(params)
+
+        def log_abs_psi_flat(flat, x):
+            return jnp.log(jnp.abs(psi(unravel(flat), x[None]))[0] + PSI_EPS)
+
+        psi_val = psi(params, batch)
+        energies = h_fn(params, batch)[:, 0]
+        e_loc = energies / _safe_psi(psi_val)
+        e_stat = (jax.lax.all_gather(e_loc, pmean_axis, tiled=True)
+                  if pmean_axis is not None else e_loc)
+        center = jnp.median(e_stat)
+        mad = jnp.mean(jnp.abs(e_stat - center))
+        e_c = jnp.clip(e_loc, center - clip_scale * mad,
+                       center + clip_scale * mad)
+
+        O = jax.vmap(jax.grad(log_abs_psi_flat), in_axes=(None, 0))(
+            flat0, batch)                                    # (B_local, P)
+        eps_local = 2.0 * e_c
+        if pmean_axis is not None:
+            O = jax.lax.all_gather(O, pmean_axis, tiled=True)
+            eps = jax.lax.all_gather(eps_local, pmean_axis, tiled=True)
+        else:
+            eps = eps_local
+        B = O.shape[0]
+        O = O - O.mean(0, keepdims=True)
+        e_mean = jnp.mean(jnp.clip(e_stat, center - clip_scale * mad,
+                                   center + clip_scale * mad))
+        eps = eps - eps.mean()
+
+        prev = momentum * opt_state                          # (P,)
+        zeta = eps - O @ prev
+        gram = O @ O.T + B * damping * jnp.eye(B)            # (B, B), MXU
+        x = jax.scipy.linalg.solve(gram, zeta, assume_a='pos')
+        delta = O.T @ x + prev                               # (P,)
+        new_flat = flat0 - learning_rate * delta
+        return unravel(new_flat), delta, e_mean
+
+    def init_state(params):
+        flat0, _ = ravel_pytree(params)
+        return jnp.zeros_like(flat0)
+
+    step.init_state = init_state
+    return step
+
+
 def make_sr_train_window(psi, h_fn, sample_fn, learning_rate: float,
                          batch_size: int, window: int,
                          damping: float = 1e-3, cg_iters: int = 20,

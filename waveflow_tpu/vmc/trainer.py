@@ -77,12 +77,16 @@ class VMCConfig:
     mcmc_sweeps: int = 10            # Metropolis sweeps between updates
     mcmc_step_size: float = 0.5      # initial proposal scale (adapts)
     mcmc_target_accept: float = 0.5
-    # parameter update: 'adam' (optax, the reference's family) or 'sr'
-    # (stochastic reconfiguration / natural gradient, vmc/sr.py — the
-    # north-star's named second optimizer; matrix-free CG, no optax state)
+    # parameter update: 'adam' (optax, the reference's family), 'sr'
+    # (stochastic reconfiguration / natural gradient via matrix-free CG,
+    # vmc/sr.py — the north-star's named second optimizer), or 'spring'
+    # (min-SR/SPRING: the same natural-gradient update solved in sample
+    # space — two MXU matmuls + one (B,B) Cholesky instead of serial CG —
+    # with momentum on the previous update)
     optimizer: str = 'adam'
     sr_damping: float = 1e-3
     sr_cg_iters: int = 20
+    spring_momentum: float = 0.99
     # electron-electron repulsion on/off; False + a protonless 'box*' system
     # gives free fermions with an analytic exact energy (physics/exact.py)
     interactions: bool = True
@@ -125,18 +129,21 @@ class VMCTrainer:
         # n_space_dimension > 1 the sorted-gap ('mean'/'first') coordinate
         # types are meaningless — they parameterize the ordered sector of
         # identical 1D fermions — so single-electron systems switch to the
-        # 'independent' per-dimension box map.  Antisymmetric n>1 electrons
-        # in n>1 space dimensions need a permutation-equivariant ansatz the
-        # square-flow family does not provide (the reference's 2D catalogue
-        # entries were never runnable at all: physics.py:62 TODO).
+        # 'independent' per-dimension box map, and multi-electron 2D
+        # systems to the 'paired2d' sorted-by-x sector (antisymmetrized on
+        # x-ordering with ψ = 0 at x-coincidence — a variational ansatz
+        # whose nodal set CONTAINS {x_i = x_j}; validated against the 2D-2e
+        # ED oracle, physics/exact.py).  The reference's 2D catalogue
+        # entries were never runnable at all (physics.py:62 TODO).
         self.input_dim = int(self.n_particle) * c.n_space_dimension
         xu_coord_type = c.xu_coord_type
-        if c.n_space_dimension > 1:
-            if self.n_particle > 1:
-                raise NotImplementedError(
-                    "n_space_dimension > 1 supports single-electron systems "
-                    "(H, He+, H2+); antisymmetry of multiple electrons in "
-                    ">1D is outside the sorted-sector ansatz")
+        if c.n_space_dimension == 2 and self.n_particle > 1:
+            xu_coord_type = 'paired2d'
+        elif c.n_space_dimension > 2 and self.n_particle > 1:
+            raise NotImplementedError(
+                "antisymmetric multi-electron systems are supported in 1D "
+                "(sorted sector) and 2D (paired2d x-sorted sector)")
+        elif c.n_space_dimension > 1:
             xu_coord_type = 'independent'
 
         init_fun = get_waveflow_model(
@@ -173,6 +180,17 @@ class VMCTrainer:
             self.window_jit = jax.jit(make_sr_train_window(
                 psi, self.h_fn, sample, c.learning_rate, c.batch_size,
                 c.window, damping=c.sr_damping, cg_iters=c.sr_cg_iters))
+        elif c.optimizer == 'spring':
+            from waveflow_tpu.vmc.estimators import make_window_from_step
+            from waveflow_tpu.vmc.sr import make_spring_train_step
+            spring_step = make_spring_train_step(
+                psi, self.h_fn, c.learning_rate, damping=c.sr_damping,
+                momentum=c.spring_momentum)
+            self.optimizer = None
+            self.opt_state = spring_step.init_state(params)
+            self.step_jit = jax.jit(spring_step)
+            self.window_jit = jax.jit(make_window_from_step(
+                spring_step, sample, c.batch_size, c.window))
         elif c.optimizer == 'adam':
             if c.grad_clip is not None:
                 self.optimizer = optax.chain(
@@ -199,7 +217,8 @@ class VMCTrainer:
             raise ValueError(f"unknown optimizer {c.optimizer!r}")
         self.mesh = None
         if c.data_parallel:
-            from waveflow_tpu.parallel import (make_sharded_sr_window,
+            from waveflow_tpu.parallel import (make_sharded_spring_window,
+                                               make_sharded_sr_window,
                                                make_sharded_train_window,
                                                make_walker_mesh)
             self.mesh = make_walker_mesh()
@@ -210,6 +229,11 @@ class VMCTrainer:
                     psi, self.h_fn, sample, c.learning_rate, c.batch_size,
                     c.window, self.mesh, damping=c.sr_damping,
                     cg_iters=c.sr_cg_iters)
+            elif c.optimizer == 'spring':
+                self.sharded_window_jit = make_sharded_spring_window(
+                    psi, self.h_fn, sample, c.learning_rate, c.batch_size,
+                    c.window, self.mesh, damping=c.sr_damping,
+                    momentum=c.spring_momentum)
             else:
                 self.sharded_window_jit = make_sharded_train_window(
                     psi, self.h_fn, sample, self.optimizer, c.batch_size,
@@ -217,20 +241,30 @@ class VMCTrainer:
 
         self.mcmc_state = None
         if c.sampler in ('metropolis', 'mala'):
-            # identical 1D fermions live on the sorted sector; the
+            # identical 1D fermions live on the coordinate-sorted sector,
+            # paired2d fermions on the x-sorted-pairs sector; the
             # 'independent' coordinate map (single-electron systems, any
             # n_space_dimension) has no quotient, so proposals need no sort
-            sort_fermions = xu_coord_type != 'independent'
+            sort_fermions = ('paired2d' if xu_coord_type == 'paired2d'
+                             else xu_coord_type != 'independent')
             # SR pairs with the MCMC windows by passing its update as the
             # window's train_step (same step contract, vmc/sr.py)
             mcmc_train_step = None
-            if c.optimizer == 'sr':
+            if c.optimizer in ('sr', 'spring'):
                 from waveflow_tpu.parallel.mesh import WALKER_AXIS
-                from waveflow_tpu.vmc.sr import make_sr_train_step
-                mcmc_train_step = make_sr_train_step(
-                    psi, self.h_fn, c.learning_rate, damping=c.sr_damping,
-                    cg_iters=c.sr_cg_iters,
-                    pmean_axis=WALKER_AXIS if self.mesh is not None else None)
+                from waveflow_tpu.vmc.sr import (make_spring_train_step,
+                                                 make_sr_train_step)
+                axis = WALKER_AXIS if self.mesh is not None else None
+                if c.optimizer == 'sr':
+                    mcmc_train_step = make_sr_train_step(
+                        psi, self.h_fn, c.learning_rate,
+                        damping=c.sr_damping, cg_iters=c.sr_cg_iters,
+                        pmean_axis=axis)
+                else:
+                    mcmc_train_step = make_spring_train_step(
+                        psi, self.h_fn, c.learning_rate,
+                        damping=c.sr_damping, momentum=c.spring_momentum,
+                        pmean_axis=axis)
             if self.mesh is not None:
                 from waveflow_tpu.parallel import (make_sharded_mala_window,
                                                    make_sharded_mcmc_window)
