@@ -181,6 +181,35 @@ def test_box_transform_log_det(coord_type):
     np.testing.assert_allclose(np.asarray(ldj), ref_ldj, atol=1e-3)
 
 
+@pytest.mark.parametrize("n_el", [2, 3])
+def test_box_transform_paired2d_roundtrip_and_logdet(n_el):
+    """'paired2d': interleaved (x1,y1,x2,y2,...) with x's sorted — the 2D
+    fermion sector map.  Round-trip and log-det vs autodiff."""
+    L = 3.0
+    dim = 2 * n_el
+    init = bj.BoxTransformLayer(L, xu_coord_type='paired2d')
+    params, direct, inverse = init(RNG, dim)
+    x = jax.random.uniform(RNG, (N, dim), minval=-L * 0.9, maxval=L * 0.9)
+    # sort the electron pairs by x coordinate (the ansatz sector)
+    xe = x.reshape(N, n_el, 2)
+    order = jnp.argsort(xe[:, :, 0], axis=1)
+    x = jnp.take_along_axis(xe, order[:, :, None], axis=1).reshape(N, dim)
+
+    u, ldj = direct(params, x)
+    assert u.shape == (N, dim)
+    assert ((u >= -1e-5) & (u <= 1 + 1e-5)).all()
+    rec, _ = inverse(params, u)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3)
+
+    def single(xx):
+        uu, _ = direct(params, xx[None])
+        return uu[0]
+
+    jac = jax.vmap(jax.jacfwd(single))(x)
+    _, ref_ldj = np.linalg.slogdet(np.asarray(jac))
+    np.testing.assert_allclose(np.asarray(ldj), ref_ldj, atol=1e-3)
+
+
 def test_rqs_spline_roundtrip_and_logdet():
     from waveflow_tpu.bijections.rqs import rational_quadratic_spline
     rng = np.random.default_rng(7)

@@ -93,10 +93,42 @@ def BoxTransformLayer(box_side=1.0, xu_coord_type='mean'):
         def inverse_independent(params, u, **kwargs):
             return u * (2 * L) - L, 0
 
+        # ---- 'paired2d' variant (new; no reference counterpart) ----------
+        # n_el identical fermions in TWO space dimensions, interleaved
+        # layout (x1, y1, x2, y2, ...), antisymmetrized on the sector
+        # SORTED BY THE x COORDINATE: the x's go through the 'mean'
+        # sorted-gap map (so the gap dims carry the zero boundary at
+        # x-coincidence, where the antisymmetrized ψ must vanish), the y's
+        # through the independent affine map.  Output layout
+        # u = [u_x-gaps..., u_x-mean, u_y...]; the x-gap dims are the
+        # model's constrained dimensions (models/factory.py).  This is a
+        # genuine variational ansatz for 2D fermions — its nodal surface
+        # CONTAINS the hyperplane x_i = x_j, a restriction the exact state
+        # need not share — validated against the 2D-2e ED oracle
+        # (physics/exact.py::exact_ground_state_2d_2e).
+        def direct_paired2d(params, x, **kwargs):
+            xs = x[:, 0::2]
+            ys = x[:, 1::2]
+            u_x, ld_x = direct_mean(params, xs)
+            u_y = (ys + L) / (2 * L)
+            ld_y = -ys.shape[-1] * jnp.log(2 * L)
+            return jnp.concatenate([u_x, u_y], axis=1), ld_x + ld_y
+
+        def inverse_paired2d(params, u, **kwargs):
+            n_el = u.shape[-1] // 2
+            xs, _ = inverse_mean(params, u[:, :n_el])
+            ys = u[:, n_el:] * (2 * L) - L
+            out = jnp.zeros(u.shape, u.dtype)
+            out = out.at[:, 0::2].set(xs)
+            out = out.at[:, 1::2].set(ys)
+            return out, 0
+
         if xu_coord_type == 'mean':
             return (), direct_mean, inverse_mean
         if xu_coord_type == 'independent':
             return (), direct_independent, inverse_independent
+        if xu_coord_type == 'paired2d':
+            return (), direct_paired2d, inverse_paired2d
         return (), direct_first, inverse_first
 
     return init_fun

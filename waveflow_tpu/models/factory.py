@@ -60,6 +60,10 @@ def get_waveflow_model(n_dimension, base_spline_degree=5, i_spline_degree=5,
         # distinguishable coordinates (e.g. one electron in n>1 space
         # dimensions): no sorted-gap structure, no constrained dims
         constrained_left = jnp.arange(0, dtype=int)
+    elif xu_coord_type == 'paired2d':
+        # n_el 2D fermions sorted by x: the n_el-1 x-gap dims (u[0..n_el-2])
+        # carry the coincidence zero boundary; y dims unconstrained
+        constrained_left = jnp.arange(0, n_dimension // 2 - 1, dtype=int)
     else:
         constrained_left = jnp.arange(1, n_dimension, dtype=int)
 

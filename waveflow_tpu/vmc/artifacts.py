@@ -48,9 +48,11 @@ def save_wavefunction_artifacts(save_dir: str, psi, sample, params, epoch: int,
     else:
         eval_fn = lambda c: np.asarray(psi(params, c))
 
-    if n_particle == 2 or (n_particle == 1 and n_space_dimension == 2):
+    if (n_particle == 2 and n_space_dimension == 1) or \
+            (n_particle == 1 and n_space_dimension == 2):
         # 2D wavefunction grid: two 1D fermions with sort+parity
         # (helpers.py:52-59), or one electron over its (x, y) plane
+        # (2D multi-electron inputs are 2·n_el-dimensional — no 2D grid)
         X, Y = np.meshgrid(line, line)
         coords = jnp.asarray(np.stack([X, Y], -1).reshape(-1, 2),
                              dtype=jnp.float32)

@@ -129,13 +129,16 @@ def make_mala_train_window(psi, h_fn, log_pdf, optimizer, window: int,
     so the asymmetric-kernel correction stays exact — no quotient-space
     bookkeeping.  Walkers are sorted only when handed to the train step
     (E_L is permutation-invariant; ψ/h_fn expect the ordered sector).
-    ``sort_fermions=False`` for 'independent' coordinate maps.
+    ``sort_fermions``: True/'1d' (coordinate sort), 'paired2d' (sort
+    electron pairs by x), or False for 'independent' coordinate maps.
     """
     from waveflow_tpu.vmc.estimators import make_train_step
+    from waveflow_tpu.vmc.metropolis import sector_projection
 
-    if sort_fermions:
-        lp = lambda params, x: log_pdf(params, jnp.sort(x, axis=-1))
-        to_sector = lambda x: jnp.sort(x, axis=-1)
+    proj = sector_projection(sort_fermions)
+    if proj is not None:
+        lp = lambda params, x: log_pdf(params, proj(x))
+        to_sector = proj
     else:
         lp = log_pdf
         to_sector = lambda x: x

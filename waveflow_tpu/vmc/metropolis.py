@@ -18,6 +18,25 @@ import jax
 import jax.numpy as jnp
 
 
+def sector_projection(sort_mode):
+    """Proposal projection onto the fermionic sector.
+
+    sort_mode: True / '1d' — coordinate sort (identical 1D fermions);
+    'paired2d' — sort electron (x, y) pairs by x (interleaved layout,
+    the paired2d ansatz sector); False/None — identity (no quotient).
+    """
+    if sort_mode in (True, '1d'):
+        return lambda x: jnp.sort(x, axis=-1)
+    if sort_mode == 'paired2d':
+        def sort_pairs(x):
+            xe = x.reshape(x.shape[0], -1, 2)
+            order = jnp.argsort(xe[:, :, 0], axis=1)
+            xe = jnp.take_along_axis(xe, order[:, :, None], axis=1)
+            return xe.reshape(x.shape[0], -1)
+        return sort_pairs
+    return None
+
+
 class MetropolisState(NamedTuple):
     positions: jnp.ndarray     # (B, D)
     log_prob: jnp.ndarray      # (B,)
@@ -109,9 +128,10 @@ def make_mcmc_train_window(psi, h_fn, log_pdf, optimizer, window: int,
     current density.  When ``pmean_axis`` is set, acceptance statistics
     are pmean-reduced so every device adapts one collective step size.
 
-    ``sort_proposals`` projects every proposal into the ordered sector
-    (identical 1D fermions); pass False for per-dimension coordinate maps
-    ('independent', any n_space_dimension) where no quotient exists.
+    ``sort_proposals`` projects every proposal into the fermionic sector:
+    True/'1d' = coordinate sort (identical 1D fermions), 'paired2d' =
+    sort electron pairs by x (2D paired ansatz), False for per-dimension
+    coordinate maps ('independent') where no quotient exists.
     ``train_step`` overrides the parameter update (same (params, opt_state,
     batch, baseline) -> (params, opt_state, loss) contract) — e.g. a
     stochastic-reconfiguration step from vmc/sr.py.
@@ -122,8 +142,7 @@ def make_mcmc_train_window(psi, h_fn, log_pdf, optimizer, window: int,
     """
     from waveflow_tpu.vmc.estimators import make_train_step
 
-    proposal_map = (lambda x: jnp.sort(x, axis=-1)) if sort_proposals \
-        else None
+    proposal_map = sector_projection(sort_proposals)
     init_fn, step_fn, _ = make_metropolis_sampler(
         log_pdf, target_accept=target_accept, axis_name=pmean_axis,
         bounds=(-box_length, box_length), proposal_map=proposal_map)
