@@ -1,0 +1,74 @@
+"""Re-report the flagship energies with the trace-independent protocol
+(VERDICT r2 item 4): load each trained checkpoint, run the frozen-params
+blocked-Metropolis evaluation (waveflow_tpu/vmc/evaluate.py), and record
+⟨E_L⟩ ± stderr / median / clipped mean next to the ED oracle.
+
+Writes results/final_energies.json.  Run on the chip.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+OUT = REPO / 'results' / 'final_energies.json'
+
+# (save_dir, system, model hyperparams) — the trained runs to re-report
+RUNS = [
+    ('results/he1d_seed2', 'He', dict()),
+    ('results/he1d_seed7', 'He', dict()),
+    ('results/he1d_seed13', 'He', dict()),
+    ('results/he1d_metropolis', 'He', dict()),
+    ('results/he1d_big', 'He', dict(num_knots=31, n_flow_layers=4)),
+    ('results/h2_1d_seed7', 'H2', dict()),
+    ('results/li_1d', 'Li', dict()),
+]
+EXACT = {'He': -1.8170, 'H2': -1.7136, 'Li': None}
+
+
+def main():
+    from waveflow_tpu.physics import exact_ground_state_1d, system_catalogue
+    from waveflow_tpu.vmc import VMCConfig, VMCTrainer, evaluate_trainer
+
+    out = json.loads(OUT.read_text()) if OUT.exists() else {}
+    for save_dir, system, mkw in RUNS:
+        if save_dir in out:
+            continue
+        full = REPO / save_dir
+        if not (full / 'checkpoints').exists():
+            print(f"skip {save_dir}: no checkpoint", flush=True)
+            continue
+        t0 = time.time()
+        cfg = VMCConfig(system_name=system, box_length=10.0, batch_size=256,
+                        save_dir=str(full), **mkw)
+        t = VMCTrainer(cfg)
+        assert t.load_checkpoint(str(full))
+        ev = evaluate_trainer(t, n_blocks=64, sweeps_per_block=25,
+                              n_warmup_sweeps=250, batch_size=4096)
+        protons, n_el = system_catalogue[1][system]
+        exact = exact_ground_state_1d(np.asarray(protons), n_el, 10.0)
+        rec = {
+            'system': system,
+            'e_mean': round(ev.e_mean, 5),
+            'e_stderr': round(ev.e_stderr, 6),
+            'e_median': round(ev.e_median, 5),
+            'e_clipped': round(ev.e_clipped, 5),
+            'e_clipped_stderr': round(ev.e_clipped_stderr, 6),
+            'accept_rate': round(ev.accept_rate, 3),
+            'n_samples': ev.n_samples,
+            'exact_ed': round(exact, 5),
+            'deviation_clipped': round(ev.e_clipped - exact, 5),
+            'wall_s': round(time.time() - t0, 1),
+        }
+        out[save_dir] = rec
+        print(save_dir, json.dumps(rec), flush=True)
+        OUT.write_text(json.dumps(out, indent=2))
+
+
+if __name__ == '__main__':
+    main()

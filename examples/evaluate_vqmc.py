@@ -33,6 +33,18 @@ def main():
     p.add_argument('--n-space-dimension', type=int, default=1,
                    help='2 selects the 2D grid-ED oracle (1-electron '
                         'systems)')
+    # fixed-parameter MCMC evaluation pass (independent of the training
+    # trace, VERDICT r2 item 4) — needs the model hyperparameters used in
+    # training to rebuild ψ before loading the checkpoint
+    p.add_argument('--mcmc-eval', action='store_true',
+                   help='frozen-params blocked Metropolis estimate '
+                        '(runs the model; pass the training hyperparams)')
+    p.add_argument('--num-knots', type=int, default=23)
+    p.add_argument('--spline-degree', type=int, default=6)
+    p.add_argument('--n-flow-layers', type=int, default=3)
+    p.add_argument('--eval-batch', type=int, default=4096)
+    p.add_argument('--eval-blocks', type=int, default=64)
+    p.add_argument('--eval-sweeps-per-block', type=int, default=25)
     args = p.parse_args()
 
     trace = np.load(Path(args.save_dir) / 'loss.npy')
@@ -75,6 +87,31 @@ def main():
     # variational offset resolved far beyond statistical noise, not an error
     print(f"deviation (median): {median - exact:+.4f}  "
           f"(variational gap = {n_sigma:.1f}x stat. err)")
+
+    if args.mcmc_eval:
+        from waveflow_tpu.vmc import VMCConfig, VMCTrainer, evaluate_trainer
+        cfg = VMCConfig(system_name=args.system,
+                        n_space_dimension=args.n_space_dimension,
+                        box_length=args.box_length,
+                        num_knots=args.num_knots,
+                        spline_degree=args.spline_degree,
+                        n_flow_layers=args.n_flow_layers,
+                        interactions=not args.no_interactions,
+                        save_dir=args.save_dir)
+        trainer = VMCTrainer(cfg)
+        if not trainer.load_checkpoint(args.save_dir):
+            raise SystemExit(f"no checkpoint under {args.save_dir}")
+        ev = evaluate_trainer(trainer, n_blocks=args.eval_blocks,
+                              sweeps_per_block=args.eval_sweeps_per_block,
+                              batch_size=args.eval_batch)
+        print("--- frozen-params MCMC evaluation (trace-independent) ---")
+        print(f"<E_L>          = {ev.e_mean:.5f} +/- {ev.e_stderr:.5f} "
+              f"({ev.n_samples} samples, {args.eval_blocks} blocks)")
+        print(f"clipped <E_L>  = {ev.e_clipped:.5f} +/- "
+              f"{ev.e_clipped_stderr:.5f}")
+        print(f"median E_L     = {ev.e_median:.5f}")
+        print(f"accept rate    = {ev.accept_rate:.2f}")
+        print(f"deviation <E_L> - exact = {ev.e_mean - exact:+.5f}")
 
 
 if __name__ == '__main__':

@@ -1,0 +1,128 @@
+"""Fixed-parameter energy evaluation with blocked MC error bars.
+
+Every energy the reference reports is a statistic of the *training-loss
+trace* (per-epoch batch means of E_L, vqmc.py:118-119) — SURVEY §6 flags
+this as a caveat, and round-2 review flagged that this repo inherited it.
+This module is the clean protocol (VERDICT r2 item 4): freeze the trained
+parameters, run long Metropolis chains on |ψ_A|², and report
+
+    ⟨E_L⟩ ± stderr       from block means (blocking over sweeps absorbs
+                          the chain's autocorrelation),
+    median(E_L),          robust location, and
+    clipped ⟨E_L⟩,        median ± 5×mean|·−median| window per block,
+
+all independent of any training-time estimator choices.  Everything runs
+as one jitted lax.scan over blocks (fixed shapes, two device dispatches:
+warmup + measurement).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveflow_tpu.vmc.estimators import _safe_psi
+from waveflow_tpu.vmc.metropolis import make_metropolis_sampler
+
+
+class EnergyEvaluation(NamedTuple):
+    e_mean: float            # blocked ⟨E_L⟩ (raw)
+    e_stderr: float          # stderr of block means
+    e_median: float          # median of per-block medians
+    e_clipped: float         # blocked clipped mean (median ± 5×meanAD)
+    e_clipped_stderr: float
+    accept_rate: float
+    n_samples: int           # total E_L evaluations entering the estimate
+    block_means: np.ndarray  # (n_blocks,)
+
+
+def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
+                    positions, rng,
+                    n_blocks: int = 64, sweeps_per_block: int = 25,
+                    n_warmup_sweeps: int = 250, step_size: float = 0.4,
+                    sort_fermions: bool = True,
+                    clip_scale: float = 5.0) -> EnergyEvaluation:
+    """Blocked Metropolis estimate of ⟨E_L⟩ at FROZEN params.
+
+    positions: (B, D) initial walkers — exact ancestral draws start the
+    chain in stationarity (warmup then only decorrelates the step-size
+    adaptation, which is frozen before measurement).  Returns raw,
+    median, and clipped estimators with blocked error bars.
+    """
+    proposal_map = (lambda x: jnp.sort(x, axis=-1)) if sort_fermions else None
+    init_fn, step_fn, _ = make_metropolis_sampler(
+        log_pdf, bounds=(-box_length, box_length), proposal_map=proposal_map)
+
+    def local_energy(params, x):
+        return (h_fn(params, x)[:, 0] / _safe_psi(psi(params, x)))
+
+    @jax.jit
+    def warmup(state, rng):
+        def body(st, k):
+            return step_fn(params, st, k), None
+        keys = jax.random.split(rng, n_warmup_sweeps)
+        state, _ = jax.lax.scan(body, state, keys)
+        return state
+
+    @jax.jit
+    def measure(state, rng):
+        # adaptation frozen: the recorded chain uses a fixed kernel
+        frozen_step = lambda st, k: step_fn(params, st, k)._replace(
+            step_size=st.step_size)
+
+        def block(st, k):
+            def body(s, kk):
+                return frozen_step(s, kk), None
+            st, _ = jax.lax.scan(body, st,
+                                 jax.random.split(k, sweeps_per_block))
+            e = local_energy(params, st.positions)
+            center = jnp.median(e)
+            mad = jnp.mean(jnp.abs(e - center))
+            e_c = jnp.clip(e, center - clip_scale * mad,
+                           center + clip_scale * mad)
+            return st, (e.mean(), center, e_c.mean(), st.accept_rate)
+
+        keys = jax.random.split(rng, n_blocks)
+        state, (means, medians, cmeans, rates) = jax.lax.scan(
+            block, state, keys)
+        return state, means, medians, cmeans, rates
+
+    state = init_fn(params, jnp.asarray(positions), step_size=step_size)
+    rng_w, rng_m = jax.random.split(rng)
+    state = warmup(state, rng_w)
+    state, means, medians, cmeans, rates = measure(state, rng_m)
+
+    means = np.asarray(means)
+    cmeans = np.asarray(cmeans)
+    B = int(np.asarray(positions).shape[0])
+    return EnergyEvaluation(
+        e_mean=float(means.mean()),
+        e_stderr=float(means.std(ddof=1) / np.sqrt(n_blocks)),
+        e_median=float(np.median(np.asarray(medians))),
+        e_clipped=float(cmeans.mean()),
+        e_clipped_stderr=float(cmeans.std(ddof=1) / np.sqrt(n_blocks)),
+        accept_rate=float(np.asarray(rates)[-1]),
+        n_samples=n_blocks * B,
+        block_means=means)
+
+
+def evaluate_trainer(trainer, n_blocks: int = 64, sweeps_per_block: int = 25,
+                     n_warmup_sweeps: int = 250, batch_size: int | None = None,
+                     seed: int = 7) -> EnergyEvaluation:
+    """Convenience wrapper: frozen-params evaluation of a (possibly
+    checkpoint-restored) VMCTrainer, warm-started from exact ancestral
+    draws."""
+    c = trainer.config
+    B = batch_size or max(4096, c.batch_size)
+    rng = jax.random.PRNGKey(seed)
+    rng, k = jax.random.split(rng)
+    positions = trainer.sample_jit(k, trainer.params, B)
+    sort_fermions = c.n_space_dimension == 1
+    return evaluate_energy(
+        trainer.psi, trainer.h_fn, trainer.log_pdf, trainer.params,
+        c.box_length, positions, rng, n_blocks=n_blocks,
+        sweeps_per_block=sweeps_per_block,
+        n_warmup_sweeps=n_warmup_sweeps, sort_fermions=sort_fermions)
