@@ -20,9 +20,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--system', default='He')
     p.add_argument('--n-space-dimension', type=int, default=1,
-                   help='2 trains single-electron systems in the 2D box '
-                        '(independent coordinate map, Euclidean '
-                        'soft-Coulomb)')
+                   help='2 trains systems in the 2D box (single-electron: '
+                        'independent coordinate map; multi-electron: '
+                        'paired2d x-sorted sector), Euclidean soft-Coulomb')
     p.add_argument('--box-length', type=float, default=10.0)
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--num-epochs', type=int, default=100_000)
@@ -37,12 +37,16 @@ def main():
     p.add_argument('--estimator', default='clipped_score',
                    choices=['clipped_score', 'reference'])
     p.add_argument('--sampler', default='ancestral',
-                   choices=['ancestral', 'metropolis'],
-                   help='walker source: exact ancestral draws from |psi|^2 '
-                        'or warm-started Metropolis MCMC walkers')
-    p.add_argument('--optimizer', default='adam', choices=['adam', 'sr'],
-                   help="'sr' = stochastic reconfiguration (natural "
-                        "gradient; typical learning rates 1e-2..1e-1)")
+                   choices=['ancestral', 'metropolis', 'mala'],
+                   help='walker source: exact ancestral draws from |psi|^2, '
+                        'warm-started Metropolis MCMC walkers, or MALA '
+                        '(gradient-informed Langevin proposals)')
+    p.add_argument('--optimizer', default='adam',
+                   choices=['adam', 'sr', 'spring'],
+                   help="'sr' = stochastic reconfiguration via CG; "
+                        "'spring' = min-SR/SPRING (sample-space solve + "
+                        "momentum); natural-gradient learning rates are "
+                        "typically 1e-2..1e-1")
     p.add_argument('--no-interactions', action='store_true',
                    help='drop electron-electron repulsion (free-fermion '
                         'oracle systems, e.g. --system box3)')

@@ -50,6 +50,23 @@ def test_pallas_sampler_ragged_batch_and_edge_uniforms(ob_evaluator):
     np.testing.assert_allclose(x, x_ref, atol=2e-6)
 
 
+def test_pallas_linear_sampler_matches_xla_path():
+    """The 'linear' kernel variant (M-spline priors) matches
+    sample_linear_density on the same uniforms."""
+    from waveflow_tpu.ops.pallas_sampler import pallas_sample_linear_density
+    from waveflow_tpu.ops.sampling import sample_linear_density
+    tabs = get_tables('M', 4, 12, n_mesh=1000)
+    ev = make_evaluator(tabs)
+    B = 200
+    w = jax.random.uniform(jax.random.PRNGKey(6), (B, ev.n_bases))
+    c = w / w.sum(-1, keepdims=True)
+    u = jax.random.uniform(jax.random.PRNGKey(7), (B,))
+    x_ref = np.asarray(sample_linear_density(ev, c, u))
+    x_pal = np.asarray(pallas_sample_linear_density(ev, c, u,
+                                                    interpret=True))
+    np.testing.assert_allclose(x_pal, x_ref, atol=2e-6)
+
+
 def test_pallas_sampler_histogram_matches_density(ob_evaluator):
     """Samples distribute as the squared spline: chi-squared-style check
     of a coarse histogram against the analytic cell masses."""

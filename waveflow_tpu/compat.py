@@ -112,27 +112,35 @@ def _spline_init(kind):
                 return (initial, jax.jit(apply_fun_vec),
                         jax.jit(apply_fun_vec_grad), jax.jit(reverse_fun_vec),
                         knots, enforce, remove_bias)
+            def _flat_draws(rng_array, params, num_samples, sampler, coeffs):
+                # reference signature: per-row rng array, num_samples draws
+                # each.  One fused kernel over all B*num_samples draws
+                # (row-major: row b's draws contiguous) instead of one
+                # kernel per draw column (round-2 review weak item 7).
+                u = jax.vmap(lambda r: jax.random.uniform(
+                    r, (num_samples,)))(rng_array)
+                c = coeffs
+                if c.ndim == 1:
+                    c = jnp.broadcast_to(c, (u.shape[0],) + c.shape)
+                cc = jnp.repeat(c, num_samples, axis=0)
+                return sampler(cc, u.reshape(-1)).reshape(u.shape)
+
             if kind == 'M':
                 def sample_fun_vec(rng_array, params, num_samples):
-                    # reference signature: per-sample rng array, n draws each
-                    u = jax.vmap(lambda r: jax.random.uniform(
-                        r, (num_samples,)))(rng_array)
-                    c = full_params(params)
-                    cols = [sample_linear_density(ev, c, u[:, i])
-                            for i in range(num_samples)]
-                    return jnp.stack(cols, axis=-1)
+                    return _flat_draws(
+                        rng_array, params, num_samples,
+                        lambda cc, uu: sample_linear_density(ev, cc, uu),
+                        full_params(params))
                 remove_bias = jax.jit(make_bias_remover(n_b, k, 'M'))
                 return (initial, jax.jit(apply_fun_vec),
                         jax.jit(apply_fun_vec_grad), sample_fun_vec, knots,
                         enforce, remove_bias)
             # B-spline
             def sample_fun_vec(rng_array, params, num_samples):
-                u = jax.vmap(lambda r: jax.random.uniform(
-                    r, (num_samples,)))(rng_array)
-                c = eval_coeffs(params)
-                cols = [sample_squared_amplitude(ev_eval, c, u[:, i])
-                        for i in range(num_samples)]
-                return jnp.stack(cols, axis=-1)
+                return _flat_draws(
+                    rng_array, params, num_samples,
+                    lambda cc, uu: sample_squared_amplitude(ev_eval, cc, uu),
+                    eval_coeffs(params))
             return (initial, jax.jit(apply_fun_vec),
                     jax.jit(apply_fun_vec_grad), sample_fun_vec, knots,
                     enforce)

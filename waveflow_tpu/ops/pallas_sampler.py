@@ -61,19 +61,25 @@ def _lane_prefix_sum(x: jnp.ndarray, width: int) -> jnp.ndarray:
 
 
 def _sampler_kernel(u_ref, coeffs_ref, table_ref, out_ref, *,
-                    n_cells: int, m_pad: int):
+                    n_cells: int, m_pad: int, kind: str = 'squared'):
     h = 1.0 / n_cells
-    # ψ at all mesh points: (R, n_b_pad) @ (n_b_pad, m_pad) — MXU, f32
+    # density values at all mesh points:
+    # (R, n_b_pad) @ (n_b_pad, m_pad) — MXU, f32
     psi = jax.lax.dot_general(
         coeffs_ref[:], table_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # (R, m_pad)
     lane = jax.lax.broadcasted_iota(jnp.int32, psi.shape, 1)
     cell_mask = lane < n_cells
+    if kind == 'linear':
+        psi = jnp.maximum(psi, 0.0)                  # M-spline density
     p_l = psi
     p_r = pltpu.roll(psi, m_pad - 1, axis=1)         # lane j <- ψ[j + 1]
     delta = p_r - p_l
-    masses = h * (p_l * p_l + p_l * delta + delta * delta / 3.0)
+    if kind == 'squared':
+        masses = h * (p_l * p_l + p_l * delta + delta * delta / 3.0)
+    else:
+        masses = h * (p_l + 0.5 * delta)             # trapezoid
     masses = jnp.where(cell_mask, masses, 0.0)
 
     cdf = _lane_prefix_sum(masses, m_pad)            # inclusive, (R, m_pad)
@@ -91,35 +97,46 @@ def _sampler_kernel(u_ref, coeffs_ref, table_ref, out_ref, *,
     a = jnp.sum(jnp.where(sel, p_l, 0.0), axis=1, keepdims=True)
     d = jnp.sum(jnp.where(sel, delta, 0.0), axis=1, keepdims=True)
 
-    # monotone in-cell cubic  m(s) = h(a²s + a d s² + d² s³/3)
-    def mass(s):
-        return h * (a * a * s + a * d * s * s + d * d * s ** 3 / 3.0)
+    if kind == 'squared':
+        # monotone in-cell cubic  m(s) = h(a²s + a d s² + d² s³/3)
+        def mass(s):
+            return h * (a * a * s + a * d * s * s + d * d * s ** 3 / 3.0)
 
-    def dmass(s):
-        v = a + d * s
-        return h * v * v
+        def dmass(s):
+            v = a + d * s
+            return h * v * v
 
-    lo = jnp.zeros_like(q)
-    hi = jnp.ones_like(q)
-    for _ in range(N_BISECT):
-        mid = 0.5 * (lo + hi)
-        gt = mass(mid) > q
-        lo = jnp.where(gt, lo, mid)
-        hi = jnp.where(gt, mid, hi)
-    s = 0.5 * (lo + hi)
-    for _ in range(N_NEWTON):
-        s = jnp.clip(s - (mass(s) - q) / jnp.maximum(dmass(s), 1e-14), lo, hi)
+        lo = jnp.zeros_like(q)
+        hi = jnp.ones_like(q)
+        for _ in range(N_BISECT):
+            mid = 0.5 * (lo + hi)
+            gt = mass(mid) > q
+            lo = jnp.where(gt, lo, mid)
+            hi = jnp.where(gt, mid, hi)
+        s = 0.5 * (lo + hi)
+        for _ in range(N_NEWTON):
+            s = jnp.clip(s - (mass(s) - q) / jnp.maximum(dmass(s), 1e-14),
+                         lo, hi)
+    else:
+        # closed-form quadratic solve, identical to sampling.py's XLA path:
+        # h(a s + d s²/2) = q
+        qn = q / h
+        disc = jnp.sqrt(jnp.maximum(a * a + 2.0 * d * qn, 0.0))
+        s_quad = (disc - a) / jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
+        s_lin = qn / jnp.maximum(a, 1e-12)
+        s = jnp.clip(jnp.where(jnp.abs(d) < 1e-12, s_lin, s_quad), 0.0, 1.0)
     out_ref[:] = (j.astype(jnp.float32) + s) * h
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=32)
 def _build_call(n_bases: int, n_mesh: int, block_rows: int,
-                interpret: bool = False):
+                interpret: bool = False, kind: str = 'squared'):
     n_cells = n_mesh - 1
     n_b_pad = -(-n_bases // 8) * 8
     m_pad = -(-n_mesh // 128) * 128
 
-    kernel = functools.partial(_sampler_kernel, n_cells=n_cells, m_pad=m_pad)
+    kernel = functools.partial(_sampler_kernel, n_cells=n_cells, m_pad=m_pad,
+                               kind=kind)
 
     def call(u2, coeffs_p, table_p):
         B = u2.shape[0]
@@ -181,10 +198,27 @@ def pallas_sample_squared_amplitude(evaluator: SplineEvaluator,
     p(x) ∝ (coeffs·T(x))² for the table-interpolated ψ.
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
     tests; tests/conftest.py forces a CPU mesh)."""
+    return _pallas_sample(evaluator, coeffs, u, block_rows, interpret,
+                          'squared')
+
+
+def pallas_sample_linear_density(evaluator: SplineEvaluator,
+                                 coeffs: jnp.ndarray,
+                                 u: jnp.ndarray,
+                                 block_rows: int = BLOCK_ROWS,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.sampling.sample_linear_density on TPU: inverse-CDF
+    of the piecewise-linear density d(x) = w·T(x) (M-spline priors), same
+    fused-kernel structure with the closed-form quadratic cell solve."""
+    return _pallas_sample(evaluator, coeffs, u, block_rows, interpret,
+                          'linear')
+
+
+def _pallas_sample(evaluator, coeffs, u, block_rows, interpret, kind):
     B = coeffs.shape[0]
     R = min(block_rows, max(8, 1 << (B - 1).bit_length()))
     call, n_b_pad, m_pad = _build_call(evaluator.n_bases, evaluator.n_mesh,
-                                       R, interpret)
+                                       R, interpret, kind)
     table_p = _padded_table(evaluator, n_b_pad, m_pad)
 
     pad_b = (-B) % R

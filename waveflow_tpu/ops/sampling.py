@@ -103,13 +103,23 @@ def _locate_in_masses(masses: jnp.ndarray, u: jnp.ndarray):
 
 def sample_linear_density(evaluator: SplineEvaluator,
                           coeffs: jnp.ndarray,
-                          u: jnp.ndarray) -> jnp.ndarray:
+                          u: jnp.ndarray,
+                          impl: str = 'auto') -> jnp.ndarray:
     """Inverse-CDF sample of the piecewise-linear density  d(x) = w·T(x).
 
     coeffs: (B, n_bases) nonnegative-weight spline coefficients (M-splines);
     u: (B,) uniforms in [0,1).  Returns x: (B,) exact samples of the
-    normalized table-interpolated density.
+    normalized table-interpolated density.  ``impl`` as in
+    sample_squared_amplitude: 'auto' routes 2D coefficient batches to the
+    fused Pallas kernel on non-CPU backends.
     """
+    if impl == 'auto':
+        impl = ('pallas' if coeffs.ndim == 2
+                and jax.default_backend() != 'cpu' else 'xla')
+    if impl == 'pallas':
+        from waveflow_tpu.ops.pallas_sampler import (
+            pallas_sample_linear_density)
+        return pallas_sample_linear_density(evaluator, coeffs, u)
     dens = jnp.maximum(evaluator.density_on_mesh(coeffs), 0.0)   # (B, P)
     P = dens.shape[-1]
     h = 1.0 / (P - 1)
