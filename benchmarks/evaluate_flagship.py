@@ -18,14 +18,26 @@ import numpy as np
 
 OUT = REPO / 'results' / 'final_energies.json'
 
-# (save_dir, system, model hyperparams) — the trained runs to re-report
+# (save_dir, system, model hyperparams) — the trained runs to re-report.
+# he1d_score_seed* are the flagship 4-seed clipped-score runs;
+# he1d_seed2/7 are the reference-estimator reruns, kept deliberately: the
+# frozen-params protocol *exposes* what their training traces understate
+# (seed2's params are NaN; seed7's true model energy is -1.507, far off
+# the -1.763 its own trace median suggests).
 RUNS = [
+    ('results/he1d_score_seed2', 'He', dict()),
+    ('results/he1d_score_seed7', 'He', dict()),
+    ('results/he1d_score_seed13', 'He', dict()),
+    ('results/he1d_score_seed42', 'He', dict()),
     ('results/he1d_seed2', 'He', dict()),
     ('results/he1d_seed7', 'He', dict()),
-    ('results/he1d_seed13', 'He', dict()),
     ('results/he1d_metropolis', 'He', dict()),
+    ('results/he1d_metropolis_seed7', 'He', dict()),
+    ('results/he1d_metropolis_seed13', 'He', dict()),
+    ('results/he1d_metropolis_seed42', 'He', dict()),
     ('results/he1d_big', 'He', dict(num_knots=31, n_flow_layers=4)),
     ('results/h2_1d_seed7', 'H2', dict()),
+    ('results/h2_1d_seed13', 'H2', dict()),
     ('results/li_1d', 'Li', dict()),
 ]
 EXACT = {'He': -1.8170, 'H2': -1.7136, 'Li': None}
