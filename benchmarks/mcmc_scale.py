@@ -63,9 +63,13 @@ def build_window(sampler, batch, sweeps, window):
 def time_mcmc(params, opt_state, win, mstate, window, iters):
     rng = jax.random.PRNGKey(2)
     baseline = jnp.zeros(())
-    out = win(params, opt_state, rng, baseline, mstate)
-    jax.block_until_ready(out[4])
-    params, opt_state, rng, baseline, losses, mstate = out
+    # two warm calls: the first compiles, the second runs on the carried
+    # state's avals (guards against any init-state weak-type retrace —
+    # the bug that invalidated the first run of this study)
+    for _ in range(2):
+        out = win(params, opt_state, rng, baseline, mstate)
+        jax.block_until_ready(out[4])
+        params, opt_state, rng, baseline, losses, mstate = out
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, rng, baseline, losses, mstate = win(

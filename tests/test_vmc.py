@@ -408,6 +408,14 @@ def test_vmc_2d_two_electron_paired2d_trains():
     tail = np.clip(losses[-20:], -50, 50).mean()
     assert tail > -1.2606 - 0.05, tail
 
+    # frozen-params evaluation on the paired2d sector: the chain must mix
+    # (sector proposals re-sorted by x) and stay variational
+    from waveflow_tpu.vmc import evaluate_trainer
+    ev = evaluate_trainer(t, n_blocks=8, sweeps_per_block=5,
+                          n_warmup_sweeps=20, batch_size=256)
+    assert np.isfinite(ev.e_clipped) and ev.e_clipped_stderr > 0
+    assert 0.05 < ev.accept_rate < 0.95
+
 
 def test_vmc_2d_two_electron_metropolis_paired_sector():
     """Metropolis on the paired2d sector: proposals re-sorted by electron

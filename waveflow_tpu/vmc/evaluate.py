@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from waveflow_tpu.vmc.estimators import _safe_psi
-from waveflow_tpu.vmc.metropolis import make_metropolis_sampler
+from waveflow_tpu.vmc.metropolis import (make_metropolis_sampler,
+                                         sector_projection)
 
 
 class EnergyEvaluation(NamedTuple):
@@ -51,8 +52,12 @@ def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
     chain in stationarity (warmup then only decorrelates the step-size
     adaptation, which is frozen before measurement).  Returns raw,
     median, and clipped estimators with blocked error bars.
+
+    sort_fermions: True/'1d' (coordinate sort — identical 1D fermions),
+    'paired2d' (sort (x, y) pairs by x — the 2D multi-electron sector),
+    or False (no quotient).
     """
-    proposal_map = (lambda x: jnp.sort(x, axis=-1)) if sort_fermions else None
+    proposal_map = sector_projection(sort_fermions)
     init_fn, step_fn, _ = make_metropolis_sampler(
         log_pdf, bounds=(-box_length, box_length), proposal_map=proposal_map)
 
@@ -120,7 +125,14 @@ def evaluate_trainer(trainer, n_blocks: int = 64, sweeps_per_block: int = 25,
     rng = jax.random.PRNGKey(seed)
     rng, k = jax.random.split(rng)
     positions = trainer.sample_jit(k, trainer.params, B)
-    sort_fermions = c.n_space_dimension == 1
+    if int(trainer.n_particle) <= 1:
+        sort_fermions = False
+    elif c.n_space_dimension == 1:
+        sort_fermions = True
+    elif c.n_space_dimension == 2:
+        sort_fermions = 'paired2d'
+    else:
+        sort_fermions = False
     return evaluate_energy(
         trainer.psi, trainer.h_fn, trainer.log_pdf, trainer.params,
         c.box_length, positions, rng, n_blocks=n_blocks,

@@ -52,8 +52,11 @@ def make_mala_sampler(log_pdf: Callable, target_accept: float = 0.574,
 
     def init_fn(params, positions, step_size=0.1):
         lp, g = lp_grad(params, positions)
-        return MALAState(positions, lp, g, jnp.asarray(step_size),
-                         jnp.asarray(target_accept))
+        # explicit dtypes (weak_type=False): keep init-state avals equal to
+        # step_fn's output avals so carried jitted calls never retrace
+        return MALAState(positions, lp, g,
+                         jnp.asarray(step_size, dtype=lp.dtype),
+                         jnp.asarray(target_accept, dtype=lp.dtype))
 
     def step_fn(params, state: MALAState, rng,
                 adapt: bool = True) -> MALAState:

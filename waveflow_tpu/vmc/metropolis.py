@@ -63,8 +63,12 @@ def make_metropolis_sampler(log_pdf, target_accept: float = 0.5,
         if proposal_map is not None:
             positions = proposal_map(positions)
         lp = log_pdf(params, positions)
-        return MetropolisState(positions, lp, jnp.asarray(step_size),
-                               jnp.asarray(target_accept))
+        # explicit dtypes (weak_type=False) so the state from init_fn has
+        # the same avals as the state step_fn returns — otherwise the
+        # second jitted call over a carried state silently retraces
+        return MetropolisState(positions, lp,
+                               jnp.asarray(step_size, dtype=lp.dtype),
+                               jnp.asarray(target_accept, dtype=lp.dtype))
 
     def step_fn(params, state: MetropolisState, rng) -> MetropolisState:
         rng_prop, rng_acc = jax.random.split(rng)

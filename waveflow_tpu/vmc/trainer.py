@@ -74,7 +74,12 @@ class VMCConfig:
     # persisted across epochs with collective step-size adaptation — the
     # north-star VMC loop, BASELINE.json)
     sampler: str = 'ancestral'
-    mcmc_sweeps: int = 10            # Metropolis sweeps between updates
+    # Metropolis sweeps between parameter updates.  The sweeps×batch study
+    # (results/mcmc_scale.json, RESULTS.md) found sweeps=1 quality-equal to
+    # sweeps=10 on the flagship at 10k AND 100k epochs (frozen-params eval
+    # −1.81574±3e-5) at ~4× the throughput; 3 is the conservative default
+    # for systems not covered by the study.
+    mcmc_sweeps: int = 3
     mcmc_step_size: float = 0.5      # initial proposal scale (adapts)
     mcmc_target_accept: float = 0.5
     # parameter update: 'adam' (optax, the reference's family), 'sr'
