@@ -35,6 +35,33 @@ def test_metropolis_step_size_adapts():
     assert 0.3 < float(state.accept_rate) < 0.7
 
 
+def test_sampler_init_state_avals_match_stepped_state():
+    """init_fn's state must have the SAME avals (shape/dtype/weak_type) as
+    the state step_fn returns — a weak-typed scalar in the init state makes
+    the second call of any jitted window carrying the state silently
+    retrace (a ~2-min remote recompile on the chip; caught by the r3
+    mcmc_scale study, where it masqueraded as a 20x throughput loss)."""
+    from waveflow_tpu.vmc.mala import make_mala_sampler
+
+    log_pdf = lambda params, x: -0.5 * (x ** 2).sum(-1)
+    pos = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+
+    def avals(tree):
+        return [(jnp.shape(l), jnp.result_type(l),
+                 getattr(jax.core.get_aval(l), 'weak_type', False))
+                for l in jax.tree_util.tree_leaves(tree)]
+
+    init_fn, step_fn, _ = make_metropolis_sampler(log_pdf)
+    st = init_fn(None, pos, step_size=0.5)
+    st2 = step_fn(None, st, jax.random.PRNGKey(1))
+    assert avals(st) == avals(st2)
+
+    init_fn, step_fn, _ = make_mala_sampler(log_pdf)
+    st = init_fn(None, pos, step_size=0.5)
+    st2 = step_fn(None, st, jax.random.PRNGKey(1))
+    assert avals(st) == avals(st2)
+
+
 def test_metropolis_bounds_respected():
     log_pdf = lambda params, x: jnp.zeros(x.shape[0])  # uniform
     init_fn, _, run_fn = make_metropolis_sampler(log_pdf, bounds=(-1.0, 1.0))
