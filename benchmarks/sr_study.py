@@ -27,13 +27,29 @@ ANSATZE = {
     'big': dict(num_knots=31, n_flow_layers=4),
 }
 OPTS = {
+    # NOTE: the un-suffixed natural-gradient rows below ran with NO trust
+    # region (sr_max_update_norm=None — the pre-r3 behavior) and diverged;
+    # the _tr rows cap ||lr·δ||₂ at 0.3 (the FermiNet/SPRING-style norm
+    # constraint, now the VMCConfig default).
     'adam_1e-4': dict(optimizer='adam', learning_rate=1e-4),
     'adam_3e-4': dict(optimizer='adam', learning_rate=3e-4),
     'spring_0.02_m0.99': dict(optimizer='spring', learning_rate=0.02,
-                              spring_momentum=0.99),
+                              spring_momentum=0.99, sr_max_update_norm=None),
     'spring_0.05_m0.9': dict(optimizer='spring', learning_rate=0.05,
-                             spring_momentum=0.9),
-    'sr_cg_0.05': dict(optimizer='sr', learning_rate=0.05, sr_cg_iters=20),
+                             spring_momentum=0.9, sr_max_update_norm=None),
+    'sr_cg_0.05': dict(optimizer='sr', learning_rate=0.05, sr_cg_iters=20,
+                       sr_max_update_norm=None),
+    'spring_0.02_m0.99_tr': dict(optimizer='spring', learning_rate=0.02,
+                                 spring_momentum=0.99,
+                                 sr_max_update_norm=0.3),
+    'spring_0.05_m0.9_tr': dict(optimizer='spring', learning_rate=0.05,
+                                spring_momentum=0.9,
+                                sr_max_update_norm=0.3),
+    'spring_0.1_m0.99_tr': dict(optimizer='spring', learning_rate=0.1,
+                                spring_momentum=0.99,
+                                sr_max_update_norm=0.3),
+    'sr_cg_0.05_tr': dict(optimizer='sr', learning_rate=0.05,
+                          sr_cg_iters=20, sr_max_update_norm=0.3),
 }
 BUDGETS = (2_000, 10_000)
 

@@ -336,3 +336,28 @@ def test_fidelity_ed_self_overlap_and_model():
     params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), 2)
     f = fidelity_2p(psi, params, psi_pairs, x, block=1024)
     assert 0.0 < f < 0.999, f
+
+
+def test_fidelity_2d_2e_self_overlap_and_model():
+    """fidelity_2d_2e: the ED pair state against itself gives 1 (through
+    _overlap with the 2·h⁴ convention); an untrained paired2d model gives
+    a valid overlap in (0, 1)."""
+    from waveflow_tpu.physics import exact_ground_state_2d_2e
+    from waveflow_tpu.utils import fidelity_2d_2e
+    import waveflow_tpu.utils.fidelity as fid
+    import jax
+
+    e, psi_pairs, sites, x = exact_ground_state_2d_2e(
+        [[0.0, 0.0]], 5.0, n_grid=10)
+    h = x[1] - x[0]
+    assert abs(fid._overlap(psi_pairs, psi_pairs, h ** 4, 2.0) - 1.0) < 1e-12
+
+    from waveflow_tpu.models import get_waveflow_model
+    init = get_waveflow_model(4, base_spline_degree=4, i_spline_degree=4,
+                              n_prior_internal_knots=8, n_i_internal_knots=8,
+                              i_spline_reg=0.1, n_flow_layers=1, box_size=5.0,
+                              xu_coord_type='paired2d',
+                              n_spline_base_mesh_points=400)
+    params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), 4)
+    f = fidelity_2d_2e(psi, params, psi_pairs, sites, x, block=2048)
+    assert 0.0 < f < 0.999, f

@@ -112,7 +112,8 @@ def make_sharded_train_window(psi, h_fn, sample_fn, optimizer,
 def make_sharded_sr_window(psi, h_fn, sample_fn, learning_rate: float,
                            global_batch: int, window: int, mesh: Mesh,
                            axis_name: str = WALKER_AXIS,
-                           damping: float = 1e-3, cg_iters: int = 20):
+                           damping: float = 1e-3, cg_iters: int = 20,
+                           max_update_norm: float | None = None):
     """Walker-sharded stochastic-reconfiguration (natural-gradient) window.
 
     Every batch expectation inside SR — the clipped-score gradient, E[O],
@@ -133,7 +134,8 @@ def make_sharded_sr_window(psi, h_fn, sample_fn, learning_rate: float,
     local_window = make_sr_train_window(psi, h_fn, sample_fn, learning_rate,
                                         local_batch, window,
                                         damping=damping, cg_iters=cg_iters,
-                                        pmean_axis=axis_name)
+                                        pmean_axis=axis_name,
+                                        max_update_norm=max_update_norm)
 
     def local(params, opt_state, keys, baseline):
         params, opt_state, rng, new_baseline, losses = local_window(
@@ -152,7 +154,8 @@ def make_sharded_spring_window(psi, h_fn, sample_fn, learning_rate: float,
                                global_batch: int, window: int, mesh: Mesh,
                                axis_name: str = WALKER_AXIS,
                                damping: float = 1e-3,
-                               momentum: float = 0.99):
+                               momentum: float = 0.99,
+                               max_update_norm: float | None = None):
     """Walker-sharded min-SR/SPRING window: each device computes its local
     (B_local, P) score block, the blocks are all-gathered so every device
     solves the identical global (B, B) Gram system (vmc/sr.py).  The
@@ -166,7 +169,8 @@ def make_sharded_spring_window(psi, h_fn, sample_fn, learning_rate: float,
             f"global_batch {global_batch} not divisible by mesh {n_dev}")
     local_batch = global_batch // n_dev
     step = make_spring_train_step(psi, h_fn, learning_rate, damping=damping,
-                                  momentum=momentum, pmean_axis=axis_name)
+                                  momentum=momentum, pmean_axis=axis_name,
+                                  max_update_norm=max_update_norm)
     local_window = make_window_from_step(step, sample_fn, local_batch, window)
 
     def local(params, opt_state, keys, baseline):

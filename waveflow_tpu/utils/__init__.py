@@ -8,4 +8,5 @@ from waveflow_tpu.utils.observables import (
 from waveflow_tpu.utils.profiling import (
     enable_persistent_compilation_cache, time_fn, trace,
 )
-from waveflow_tpu.utils.fidelity import fidelity_2d_1e, fidelity_2p, fidelity_3p
+from waveflow_tpu.utils.fidelity import (fidelity_2d_1e, fidelity_2d_2e,
+                                         fidelity_2p, fidelity_3p)

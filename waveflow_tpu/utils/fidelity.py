@@ -65,6 +65,32 @@ def fidelity_3p(psi, params, psi_triples: np.ndarray, x: np.ndarray,
     return _overlap(vals, psi_triples, h ** 3, 6.0)
 
 
+def fidelity_2d_2e(psi, params, psi_pairs: np.ndarray, sites: np.ndarray,
+                   x: np.ndarray, block: int = 65536) -> float:
+    """|⟨ψ_VMC|ψ_ED⟩| for two fermions in the 2D box; psi_pairs/sites/x
+    from physics.exact.exact_ground_state_2d_2e (antisymmetric site-pair
+    basis, a < b in site rank, normalized 2 Σ ψ² h⁴ = 1).
+
+    The paired2d ansatz is defined on the x-sorted sector, so each ED pair
+    is evaluated with its electrons ordered by x and the exchange sign
+    applied when that order disagrees with the ED's site order.  Equal-x
+    pairs lie on the ansatz's nodal surface (ψ_VMC ≈ 0 there while ψ_ED
+    need not vanish) — that sector restriction is *measured* by this
+    fidelity, not hidden."""
+    n = len(x)
+    h = x[1] - x[0]
+    N = n * n
+    a, b = np.triu_indices(N, k=1)
+    r1, r2 = sites[a], sites[b]                       # (m, 2) each
+    swap = r1[:, 0] > r2[:, 0]                        # x-order disagrees
+    lo = np.where(swap[:, None], r2, r1)
+    hi = np.where(swap[:, None], r1, r2)
+    coords = np.concatenate([lo, hi], axis=1)         # interleaved (x1,y1,x2,y2)
+    sign = np.where(swap, -1.0, 1.0)
+    vals = sign * _batched_eval(psi, params, coords, block)
+    return _overlap(vals, psi_pairs, h ** 4, 2.0)
+
+
 def fidelity_2d_1e(psi, params, psi_grid: np.ndarray, x: np.ndarray,
                    block: int = 65536) -> float:
     """|⟨ψ_VMC|ψ_ED⟩| for one electron in the 2D box; psi_grid/x from

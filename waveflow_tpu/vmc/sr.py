@@ -29,9 +29,25 @@ import jax.numpy as jnp
 from waveflow_tpu.vmc.estimators import PSI_EPS, _safe_psi
 
 
+def _norm_cap(delta_tree, learning_rate, max_update_norm):
+    """Trust-region scaling: shrink δ so ‖lr·δ‖₂ ≤ max_update_norm (the
+    FermiNet/SPRING-style norm constraint — natural-gradient solves are
+    exact in a quadratic model that is only trusted locally; without the
+    cap a single ill-conditioned batch can throw the parameters out of the
+    basin, cf. the r3 sr_study divergences at +7571)."""
+    if max_update_norm is None:
+        return delta_tree
+    sq = sum(jnp.vdot(l, l).real
+             for l in jax.tree_util.tree_leaves(delta_tree))
+    scale = jnp.minimum(
+        1.0, max_update_norm / (learning_rate * jnp.sqrt(sq) + 1e-30))
+    return jax.tree_util.tree_map(lambda l: scale * l, delta_tree)
+
+
 def make_sr_train_step(psi, h_fn, learning_rate: float,
                        damping: float = 1e-3, cg_iters: int = 20,
-                       clip_scale: float = 5.0, pmean_axis=None):
+                       clip_scale: float = 5.0, pmean_axis=None,
+                       max_update_norm: float | None = None):
     """step(params, opt_state, batch, baseline) -> (params, opt_state, loss)
     with opt_state = () — same contract as estimators.make_train_step, so
     the fused-window scan and the trainer work unchanged."""
@@ -80,6 +96,7 @@ def make_sr_train_step(psi, h_fn, learning_rate: float,
                 first, o_bar, v)
 
         delta, _ = jax.scipy.sparse.linalg.cg(s_mv, g, maxiter=cg_iters)
+        delta = _norm_cap(delta, learning_rate, max_update_norm)
         params = jax.tree_util.tree_map(
             lambda p, d: p - learning_rate * d, params, delta)
         return params, opt_state, e_mean
@@ -89,7 +106,8 @@ def make_sr_train_step(psi, h_fn, learning_rate: float,
 
 def make_spring_train_step(psi, h_fn, learning_rate: float,
                            damping: float = 1e-3, momentum: float = 0.99,
-                           clip_scale: float = 5.0, pmean_axis=None):
+                           clip_scale: float = 5.0, pmean_axis=None,
+                           max_update_norm: float | None = None):
     """min-SR / SPRING natural-gradient step (TPU-first SR).
 
     The CG formulation above pays ~2·cg_iters serial jvp/vjp passes through
@@ -152,6 +170,9 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
         gram = O @ O.T + B * damping * jnp.eye(B)            # (B, B), MXU
         x = jax.scipy.linalg.solve(gram, zeta, assume_a='pos')
         delta = O.T @ x + prev                               # (P,)
+        # the capped δ is both applied AND stored: the momentum recursion
+        # must not carry an uncapped explosion into the next step
+        delta = _norm_cap(delta, learning_rate, max_update_norm)
         new_flat = flat0 - learning_rate * delta
         return unravel(new_flat), delta, e_mean
 
@@ -166,10 +187,12 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
 def make_sr_train_window(psi, h_fn, sample_fn, learning_rate: float,
                          batch_size: int, window: int,
                          damping: float = 1e-3, cg_iters: int = 20,
-                         pmean_axis=None):
+                         pmean_axis=None,
+                         max_update_norm: float | None = None):
     """Fused `window`-epoch SR loop (same shape as make_train_window)."""
     step = make_sr_train_step(psi, h_fn, learning_rate, damping=damping,
-                              cg_iters=cg_iters, pmean_axis=pmean_axis)
+                              cg_iters=cg_iters, pmean_axis=pmean_axis,
+                              max_update_norm=max_update_norm)
 
     def run_window(params, opt_state, rng, baseline):
         def body(carry, _):

@@ -92,6 +92,11 @@ class VMCConfig:
     sr_damping: float = 1e-3
     sr_cg_iters: int = 20
     spring_momentum: float = 0.99
+    # trust region for the natural-gradient updates: cap ||lr*delta||_2.
+    # Without it a single ill-conditioned batch throws the parameters out
+    # of the basin (r3 sr_study: uncapped SPRING diverged to +7571 on the
+    # 31-knot ansatz); None disables.
+    sr_max_update_norm: float | None = 0.3
     # electron-electron repulsion on/off; False + a protonless 'box*' system
     # gives free fermions with an analytic exact energy (physics/exact.py)
     interactions: bool = True
@@ -181,16 +186,19 @@ class VMCTrainer:
             self.opt_state = ()
             self.step_jit = jax.jit(make_sr_train_step(
                 psi, self.h_fn, c.learning_rate, damping=c.sr_damping,
-                cg_iters=c.sr_cg_iters))
+                cg_iters=c.sr_cg_iters,
+                max_update_norm=c.sr_max_update_norm))
             self.window_jit = jax.jit(make_sr_train_window(
                 psi, self.h_fn, sample, c.learning_rate, c.batch_size,
-                c.window, damping=c.sr_damping, cg_iters=c.sr_cg_iters))
+                c.window, damping=c.sr_damping, cg_iters=c.sr_cg_iters,
+                max_update_norm=c.sr_max_update_norm))
         elif c.optimizer == 'spring':
             from waveflow_tpu.vmc.estimators import make_window_from_step
             from waveflow_tpu.vmc.sr import make_spring_train_step
             spring_step = make_spring_train_step(
                 psi, self.h_fn, c.learning_rate, damping=c.sr_damping,
-                momentum=c.spring_momentum)
+                momentum=c.spring_momentum,
+                max_update_norm=c.sr_max_update_norm)
             self.optimizer = None
             self.opt_state = spring_step.init_state(params)
             self.step_jit = jax.jit(spring_step)
@@ -233,12 +241,14 @@ class VMCTrainer:
                 self.sharded_window_jit = make_sharded_sr_window(
                     psi, self.h_fn, sample, c.learning_rate, c.batch_size,
                     c.window, self.mesh, damping=c.sr_damping,
-                    cg_iters=c.sr_cg_iters)
+                    cg_iters=c.sr_cg_iters,
+                    max_update_norm=c.sr_max_update_norm)
             elif c.optimizer == 'spring':
                 self.sharded_window_jit = make_sharded_spring_window(
                     psi, self.h_fn, sample, c.learning_rate, c.batch_size,
                     c.window, self.mesh, damping=c.sr_damping,
-                    momentum=c.spring_momentum)
+                    momentum=c.spring_momentum,
+                    max_update_norm=c.sr_max_update_norm)
             else:
                 self.sharded_window_jit = make_sharded_train_window(
                     psi, self.h_fn, sample, self.optimizer, c.batch_size,
