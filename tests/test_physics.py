@@ -361,3 +361,55 @@ def test_fidelity_2d_2e_self_overlap_and_model():
     params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), 4)
     f = fidelity_2d_2e(psi, params, psi_pairs, sites, x, block=2048)
     assert 0.0 < f < 0.999, f
+
+
+def test_fidelity_2d_2e_degenerate_subspace():
+    """2D He's square-box x↔y symmetry makes the lowest antisymmetric level
+    EXACTLY doubly degenerate, so single-vector fidelity against one
+    arbitrary eigsh eigenvector is meaningless (it measured 0.043 for a
+    0.24%-accurate trained state, r3).  The subspace variant must return
+    1 for any member of the ground space while the single-vector overlap
+    returns its mixing coefficient."""
+    import jax
+    import jax.numpy as jnp
+    from jax import pure_callback
+    from waveflow_tpu.physics import exact_ground_state_2d_2e
+    from waveflow_tpu.utils import fidelity_2d_2e
+
+    evals, evecs, sites, x = exact_ground_state_2d_2e(
+        [[0.0, 0.0], [0.0, 0.0]], 5.0, n_grid=12, n_states=2)
+    assert evals[1] - evals[0] < 1e-9          # exact degeneracy
+    n = len(x)
+    N = n * n
+    h = x[1] - x[0]
+
+    def rank_of(a, b):
+        a = a.astype(np.int64)
+        return a * N - a * (a + 1) // 2 + (b - a - 1)
+
+    def site_of(r):
+        i = np.clip(np.round((r[:, 0] - x[0]) / h).astype(np.int64), 0, n - 1)
+        j = np.clip(np.round((r[:, 1] - x[0]) / h).astype(np.int64), 0, n - 1)
+        return i * n + j
+
+    t = 0.7
+    mix = np.cos(t) * evecs[:, 0] + np.sin(t) * evecs[:, 1]
+
+    def _host(c):
+        c = np.asarray(c)
+        s1, s2 = site_of(c[:, :2]), site_of(c[:, 2:])
+        swap = s1 > s2
+        lo, hi = np.where(swap, s2, s1), np.where(swap, s1, s2)
+        sign = np.where(swap, -1.0, 1.0)
+        return np.where(lo == hi, 0.0, sign * mix[
+            rank_of(lo, np.maximum(hi, lo + 1))]).astype(np.float32)
+
+    def model(params, coords):
+        return pure_callback(
+            _host, jax.ShapeDtypeStruct((coords.shape[0],), jnp.float32),
+            coords)
+
+    f_single = fidelity_2d_2e(model, None, evecs[:, 0], sites, x, block=4096)
+    f_sub = fidelity_2d_2e(model, None, evecs, sites, x, block=4096)
+    assert abs(f_single - abs(np.cos(t))) < 1e-4, f_single
+    assert abs(f_sub - 1.0) < 1e-6, f_sub

@@ -183,9 +183,15 @@ def exact_ground_state_2d_1e(protons, box_length: float, n_grid: int = 200):
 
 
 def exact_ground_state_2d_2e(protons, box_length: float, n_grid: int = 40,
-                             interactions: bool = True):
+                             interactions: bool = True, n_states: int = 1):
     """Ground state of TWO spinless fermions in the 2D box [-L, L]²:
-    (energy, psi_pairs (m,), sites (N, 2), x).
+    (energy, psi_pairs (m,), sites (N, 2), x); with ``n_states`` > 1,
+    (energies (k,), psi_pairs (m, k), sites, x) — needed when the ground
+    level is (near-)degenerate (e.g. 2D He: both protons at the origin in
+    the square box leave an x↔y symmetry, so the lowest antisymmetric
+    level splits into quasi-degenerate x/y-aligned partners and a single
+    eigsh vector is an arbitrary member; fidelity must then be taken
+    against the ground *subspace*).
 
     Sparse ED in the antisymmetric-pair basis over grid *sites*
     { (s_a, s_b) : a < b }, N = n_grid² sites, m = N(N-1)/2 pair states
@@ -265,10 +271,13 @@ def exact_ground_state_2d_2e(protons, box_length: float, n_grid: int = 40,
     H = sp.coo_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(m, m)).tocsr()
-    evals, evecs = eigsh(H, k=1, which='SA')
-    psi = evecs[:, 0]
-    psi = psi / np.sqrt(2.0 * (psi ** 2).sum() * h ** 4)
-    return float(evals[0]), psi, sites, x
+    evals, evecs = eigsh(H, k=n_states, which='SA')
+    order = np.argsort(evals)
+    evals, evecs = evals[order], evecs[:, order]
+    evecs = evecs / np.sqrt(2.0 * (evecs ** 2).sum(0) * h ** 4)
+    if n_states == 1:
+        return float(evals[0]), evecs[:, 0], sites, x
+    return evals, evecs, sites, x
 
 
 def exact_free_fermion_energy(n_electrons: int, box_length: float) -> float:

@@ -76,7 +76,15 @@ def fidelity_2d_2e(psi, params, psi_pairs: np.ndarray, sites: np.ndarray,
     applied when that order disagrees with the ED's site order.  Equal-x
     pairs lie on the ansatz's nodal surface (ψ_VMC ≈ 0 there while ψ_ED
     need not vanish) — that sector restriction is *measured* by this
-    fidelity, not hidden."""
+    fidelity, not hidden.
+
+    psi_pairs may be (m,) — a single ED state — or (m, k): an orthonormal
+    basis of a (near-)degenerate ground subspace (from
+    exact_ground_state_2d_2e(..., n_states=k)), in which case the
+    *subspace* fidelity √(Σᵢ ⟨ψ|eᵢ⟩²) is returned.  2D He needs this: its
+    square-box x↔y symmetry makes the lowest antisymmetric level exactly
+    doubly degenerate, so overlap with one arbitrary eigsh vector is
+    meaningless."""
     n = len(x)
     h = x[1] - x[0]
     N = n * n
@@ -88,7 +96,12 @@ def fidelity_2d_2e(psi, params, psi_pairs: np.ndarray, sites: np.ndarray,
     coords = np.concatenate([lo, hi], axis=1)         # interleaved (x1,y1,x2,y2)
     sign = np.where(swap, -1.0, 1.0)
     vals = sign * _batched_eval(psi, params, coords, block)
-    return _overlap(vals, psi_pairs, h ** 4, 2.0)
+    psi_pairs = np.asarray(psi_pairs)
+    if psi_pairs.ndim == 1:
+        return _overlap(vals, psi_pairs, h ** 4, 2.0)
+    return float(np.sqrt(sum(
+        _overlap(vals, psi_pairs[:, i], h ** 4, 2.0) ** 2
+        for i in range(psi_pairs.shape[1]))))
 
 
 def fidelity_2d_1e(psi, params, psi_grid: np.ndarray, x: np.ndarray,
