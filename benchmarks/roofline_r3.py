@@ -52,6 +52,8 @@ def row_from(kind, batch, window, flops_w, bytes_w, dt):
 
 def ancestral_case(batch, window):
     from bench import build, time_windows
+    from waveflow_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache("~/.cache/waveflow_tpu/xla")
     params, opt_state, window_jit, _ = build(batch, window=window)
     lowered = window_jit.lower(params, opt_state, jax.random.PRNGKey(1),
                                jnp.zeros(()))

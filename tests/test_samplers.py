@@ -46,9 +46,11 @@ def test_sampler_init_state_avals_match_stepped_state():
     log_pdf = lambda params, x: -0.5 * (x ** 2).sum(-1)
     pos = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
 
+    typeof = getattr(jax, 'typeof', jax.core.get_aval)
+
     def avals(tree):
         return [(jnp.shape(l), jnp.result_type(l),
-                 getattr(jax.core.get_aval(l), 'weak_type', False))
+                 getattr(typeof(l), 'weak_type', False))
                 for l in jax.tree_util.tree_leaves(tree)]
 
     init_fn, step_fn, _ = make_metropolis_sampler(log_pdf)

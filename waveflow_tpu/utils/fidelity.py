@@ -73,10 +73,13 @@ def fidelity_2d_2e(psi, params, psi_pairs: np.ndarray, sites: np.ndarray,
 
     The paired2d ansatz is defined on the x-sorted sector, so each ED pair
     is evaluated with its electrons ordered by x and the exchange sign
-    applied when that order disagrees with the ED's site order.  Equal-x
-    pairs lie on the ansatz's nodal surface (ψ_VMC ≈ 0 there while ψ_ED
-    need not vanish) — that sector restriction is *measured* by this
-    fidelity, not hidden.
+    applied when that order disagrees with the site-pair order.  (For the
+    lexicographic site layout exact_ground_state_2d_2e produces — x the
+    major axis — site rank a < b already implies x_a ≤ x_b, so the swap
+    branch is a no-op there; it is kept so the function is correct for
+    any orthonormal pair basis/ordering.)  Equal-x pairs lie on the
+    ansatz's nodal surface (ψ_VMC ≈ 0 there while ψ_ED need not vanish) —
+    that sector restriction is *measured* by this fidelity, not hidden.
 
     psi_pairs may be (m,) — a single ED state — or (m, k): an orthonormal
     basis of a (near-)degenerate ground subspace (from

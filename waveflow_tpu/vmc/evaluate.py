@@ -44,7 +44,7 @@ def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
                     positions, rng,
                     n_blocks: int = 64, sweeps_per_block: int = 25,
                     n_warmup_sweeps: int = 250, step_size: float = 0.4,
-                    sort_fermions: bool = True,
+                    sort_fermions: bool | str = True,
                     clip_scale: float = 5.0) -> EnergyEvaluation:
     """Blocked Metropolis estimate of ⟨E_L⟩ at FROZEN params.
 

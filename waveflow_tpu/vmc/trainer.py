@@ -274,12 +274,14 @@ class VMCTrainer:
                     mcmc_train_step = make_sr_train_step(
                         psi, self.h_fn, c.learning_rate,
                         damping=c.sr_damping, cg_iters=c.sr_cg_iters,
-                        pmean_axis=axis)
+                        pmean_axis=axis,
+                        max_update_norm=c.sr_max_update_norm)
                 else:
                     mcmc_train_step = make_spring_train_step(
                         psi, self.h_fn, c.learning_rate,
                         damping=c.sr_damping, momentum=c.spring_momentum,
-                        pmean_axis=axis)
+                        pmean_axis=axis,
+                        max_update_norm=c.sr_max_update_norm)
             if self.mesh is not None:
                 from waveflow_tpu.parallel import (make_sharded_mala_window,
                                                    make_sharded_mcmc_window)
