@@ -41,8 +41,11 @@ SWEEP = [
     ('He_off_center', 10.0, {}),
     ('H2', 10.0, {}),
     ('H2_wide', 12.0, {}),
-    ('Laplacian_interactive_particles', 5.0, {}),
-    ('box2', 5.0, dict(interactions=False)),
+    # lr 3e-4 for the two former outliers: the round-3 study
+    # (results/outlier_study.json) showed their +0.02 deviations were
+    # under-training at the 1e-4 default, not estimator/ansatz issues
+    ('Laplacian_interactive_particles', 5.0, dict(learning_rate=3e-4)),
+    ('box2', 5.0, dict(interactions=False, learning_rate=3e-4)),
     ('box3', 5.0, dict(interactions=False, learning_rate=3e-4)),
     ('Li', 10.0, dict(learning_rate=3e-4)),
 ]

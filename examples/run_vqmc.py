@@ -47,6 +47,16 @@ def main():
                         "'spring' = min-SR/SPRING (sample-space solve + "
                         "momentum); natural-gradient learning rates are "
                         "typically 1e-2..1e-1")
+    p.add_argument('--mcmc-sweeps', type=int, default=3,
+                   help='Metropolis/MALA sweeps between parameter updates '
+                        '(sweeps=1 measured quality-equal to 10 on the '
+                        'flagship at 4x the throughput; see RESULTS.md)')
+    p.add_argument('--spring-momentum', type=float, default=0.9,
+                   help="momentum for --optimizer spring (SPRING's mu)")
+    p.add_argument('--sr-max-update-norm', type=float, default=0.3,
+                   help='trust region for sr/spring: cap ||lr*delta||_2 '
+                        '(0 disables; uncapped natural gradient can '
+                        'diverge, see RESULTS.md SR study)')
     p.add_argument('--no-interactions', action='store_true',
                    help='drop electron-electron repulsion (free-fermion '
                         'oracle systems, e.g. --system box3)')
@@ -65,6 +75,9 @@ def main():
                     log_every=args.log_every, save_dir=args.save_dir,
                     seed=args.seed, estimator=args.estimator,
                     sampler=args.sampler, optimizer=args.optimizer,
+                    mcmc_sweeps=args.mcmc_sweeps,
+                    spring_momentum=args.spring_momentum,
+                    sr_max_update_norm=(args.sr_max_update_norm or None),
                     interactions=not args.no_interactions,
                     data_parallel=args.data_parallel)
     trainer = VMCTrainer(cfg)

@@ -41,7 +41,12 @@ def _norm_cap(delta_tree, learning_rate, max_update_norm):
              for l in jax.tree_util.tree_leaves(delta_tree))
     scale = jnp.minimum(
         1.0, max_update_norm / (learning_rate * jnp.sqrt(sq) + 1e-30))
-    return jax.tree_util.tree_map(lambda l: scale * l, delta_tree)
+    # a non-finite solve (near-node walkers blow up the score matrix at
+    # init) zeroes the step instead of poisoning the parameters — the
+    # batch is skipped, not the run
+    scale = jnp.where(jnp.isfinite(scale), scale, 0.0)
+    return jax.tree_util.tree_map(
+        lambda l: scale * jnp.where(jnp.isfinite(l), l, 0.0), delta_tree)
 
 
 def make_sr_train_step(psi, h_fn, learning_rate: float,
@@ -160,6 +165,15 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
         else:
             eps = eps_local
         B = O.shape[0]
+        # batch-adaptive score-row clip (same spirit as the E_L clip):
+        # near-node walkers carry ‖O_i‖ ~ 1/|ψ| up to ~1e8, which sends the
+        # Gram matrix's condition number past f32's Cholesky and NaNs the
+        # solve — at a random init EVERY batch is pathological and the run
+        # never starts.  Shrinking those rows onto a 10×median ball tames
+        # the geometry while leaving typical rows untouched.
+        row_norm = jnp.linalg.norm(O, axis=1)
+        row_cap = 10.0 * jnp.median(row_norm)
+        O = O * jnp.minimum(1.0, row_cap / (row_norm + 1e-30))[:, None]
         O = O - O.mean(0, keepdims=True)
         e_mean = jnp.mean(jnp.clip(e_stat, center - clip_scale * mad,
                                    center + clip_scale * mad))

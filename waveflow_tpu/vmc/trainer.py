@@ -91,7 +91,9 @@ class VMCConfig:
     optimizer: str = 'adam'
     sr_damping: float = 1e-3
     sr_cg_iters: int = 20
-    spring_momentum: float = 0.99
+    # 0.9 + lr 0.05 was the best SPRING setting in the r3 study
+    # (results/sr_study.json); the headline run uses it
+    spring_momentum: float = 0.9
     # trust region for the natural-gradient updates: cap ||lr*delta||_2.
     # Without it a single ill-conditioned batch throws the parameters out
     # of the basin (r3 sr_study: uncapped SPRING diverged to +7571 on the
