@@ -23,7 +23,7 @@ import optax
 
 
 def build(batch_size=256, laplacian_mode='fwd', estimator='clipped_score',
-          window=100):
+          window=100, eval_backend='poly'):
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
     from waveflow_tpu.models import get_waveflow_model
@@ -35,7 +35,7 @@ def build(batch_size=256, laplacian_mode='fwd', estimator='clipped_score',
                               i_spline_degree=6, n_prior_internal_knots=23,
                               n_i_internal_knots=23, i_spline_reg=0.05,
                               n_flow_layers=3, box_size=10.0,
-                              xu_coord_type='mean')
+                              xu_coord_type='mean', eval_backend=eval_backend)
     params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), n_particle)
     h_fn = construct_hamiltonian_function(
         psi, protons=protons, n_space_dimensions=1, eps=0.0,

@@ -27,7 +27,7 @@ import numpy as np
 OUT = REPO / 'results' / 'mcmc_scale.json'
 
 
-def build_window(sampler, batch, sweeps, window):
+def build_window(sampler, batch, sweeps, window, eval_backend='poly'):
     import optax
     jax.config.update("jax_default_matmul_precision", "highest")
     from waveflow_tpu.models import get_waveflow_model
@@ -41,7 +41,7 @@ def build_window(sampler, batch, sweeps, window):
                               i_spline_degree=6, n_prior_internal_knots=23,
                               n_i_internal_knots=23, i_spline_reg=0.05,
                               n_flow_layers=3, box_size=10.0,
-                              xu_coord_type='mean')
+                              xu_coord_type='mean', eval_backend=eval_backend)
     params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), n_particle)
     h_fn = construct_hamiltonian_function(psi, protons=protons,
                                           n_space_dimensions=1, eps=0.0)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from waveflow_tpu.ops import (
     batched_monotone_inverse, get_tables, make_bias_remover,
-    make_boundary_projector, make_evaluator,
+    make_boundary_projector, make_evaluator, make_poly_evaluator,
 )
 
 LOG_TOL = 1e-7  # matches made.py:79
@@ -33,7 +33,8 @@ LOG_TOL = 1e-7  # matches made.py:79
 def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
           spline_regularization=0.0, reverse_fun_tol=1e-6,
           constraints_dict_left={0: 0.0}, constraints_dict_right={0: 1.0},
-          set_nn_output_grad_to_zero=False, n_spline_base_mesh_points=2000):
+          set_nn_output_grad_to_zero=False, n_spline_base_mesh_points=2000,
+          eval_backend='poly'):
 
     # static bisection count meeting (far exceeding) the tolerance contract
     import math
@@ -57,11 +58,19 @@ def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
             p = debias(p)
             return project(p)                      # (B, D, n_bases)
 
+        # forward-eval backend: 'poly' (gather-free exact local-polynomial
+        # evaluation — one MXU matmul + Horner, exact derivatives through
+        # plain autodiff; ops/poly_eval.py) or 'table' (cached-table lerp
+        # with the custom-JVP derivative chain, the reference's numerics).
+        # The inverse and the boundary projector always use the tables.
+        fwd_ev = make_poly_evaluator(tabs) if eval_backend == 'poly' else ev
+
         def direct_fun(params, inputs, **kwargs):
             sp = spline_params(params, inputs)
-            # fused (value, derivative) — one table gather instead of two,
-            # and the saving compounds under the Laplacian's nested JVPs
-            outputs, deriv = ev.pair(sp, inputs)   # (B, D) each
+            # fused (value, derivative) in one kernel; under 'poly' the
+            # Laplacian's nested JVPs are exact polynomial derivatives with
+            # zero extra table traffic
+            outputs, deriv = fwd_ev.pair(sp, inputs)   # (B, D) each
             log_det = jnp.log(deriv + LOG_TOL).sum(-1)
             return outputs, log_det
 
@@ -71,6 +80,16 @@ def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
                 sp = spline_params(params, outputs)
                 col = batched_monotone_inverse(
                     ev, sp[:, i_col], inputs[:, i_col], n_bisect=n_bisect)
+                if eval_backend == 'poly':
+                    # the exact inverse above inverts the TABLE-interpolated
+                    # spline; two Newton steps against the polynomial forward
+                    # close the ~1e-6 table-vs-poly gap to f32 rounding
+                    for _ in range(2):
+                        f, df = fwd_ev.value_and_derivative(
+                            sp[:, i_col], col)
+                        col = jnp.clip(
+                            col - (f - inputs[:, i_col])
+                            / jnp.maximum(df, 1e-12), 0.0, 1.0)
                 outputs = outputs.at[:, i_col].set(col)
             return outputs, 0
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import random
 
 from waveflow_tpu.ops import (
-    get_tables, make_boundary_projector, make_evaluator,
+    get_tables, make_boundary_projector, make_evaluator, make_poly_evaluator,
     sample_squared_amplitude,
 )
 
@@ -34,7 +34,8 @@ LOG_TOL = 1e-7  # wavefunctions.py:34
 def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
              constraints_dict_left={0: 0, 2: 0}, constraints_dict_right={0: 0},
              constrained_dimension_indices_left=(),
-             set_nn_output_grad_to_zero=True, n_spline_base_mesh_points=2000):
+             set_nn_output_grad_to_zero=True, n_spline_base_mesh_points=2000,
+             eval_backend='poly'):
 
     constrained_left = jnp.asarray(constrained_dimension_indices_left,
                                    dtype=jnp.int32)
@@ -48,7 +49,15 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
         tabs = get_tables('B', spline_degree, n_internal_knots,
                           n_mesh=n_spline_base_mesh_points)
         ev_b = make_evaluator(tabs)                 # plain B basis (constraints)
-        ev_ob = make_evaluator(tabs, use_ob=True)   # orthonormal basis (eval)
+        ev_ob = make_evaluator(tabs, use_ob=True)   # orthonormal basis (sampling)
+        # hot-path amplitude backend: 'poly' evaluates the OB basis from
+        # exact local polynomials (gather-free, one MXU matmul + Horner,
+        # exact derivatives through autodiff — 100-500x more accurate than
+        # the lerp tables on the OB basis, whose S^{-1/2} change matrix
+        # amplifies table interpolation error; see ops/poly_eval.py).
+        # Sampling and the inverse always use the table evaluator.
+        fwd_ob = (make_poly_evaluator(tabs, use_ob=True)
+                  if eval_backend == 'poly' else ev_ob)
         ob_to_b = jnp.asarray(tabs.ob_to_b)
         project = make_boundary_projector(
             ev_b, constraints_dict_left, constraints_dict_right,
@@ -75,7 +84,7 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
             u, log_det = direct_fun(transform_params, inputs)
             c = ob_coeffs(sp_params, u)
             u_c = jnp.clip(u, 0.0, 1.0)
-            amps = ev_ob(c, u_c)                  # (B, D) per-dim amplitudes
+            amps = fwd_ob(c, u_c)                 # (B, D) per-dim amplitudes
             return amps, log_det
 
         def log_pdf(params, inputs, return_sample=False):
@@ -85,7 +94,7 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
             u, log_det = direct_fun(transform_params, inputs)
             c = ob_coeffs(sp_params, u)
             u_c = jnp.clip(u, 0.0, 1.0)
-            probs = ev_ob(c, u_c) ** 2
+            probs = fwd_ob(c, u_c) ** 2
             if constrained_left.size:
                 probs = probs.at[:, constrained_left].set(
                     probs[:, constrained_left] / 2)

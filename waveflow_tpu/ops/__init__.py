@@ -4,6 +4,7 @@ from waveflow_tpu.ops.spline_tables import (
     make_knots,
 )
 from waveflow_tpu.ops.spline_eval import SplineEvaluator, make_evaluator
+from waveflow_tpu.ops.poly_eval import PolySplineEvaluator, make_poly_evaluator
 from waveflow_tpu.ops.boundary import make_boundary_projector, make_bias_remover
 from waveflow_tpu.ops.inverse import (
     batched_monotone_inverse, bisection_inverse, exact_node_bisect_inverse,

@@ -1,0 +1,241 @@
+"""Gather-free exact spline evaluation via local piecewise polynomials.
+
+The round-3 roofline (results/roofline_r3.json) capped the production VMC
+windows at ~13% of the HBM roofline: every spline evaluation — and every
+jvp instantiation the Laplacian's nested forward-mode passes create — issued
+a random ~400-900 B row gather from the cached basis tables in HBM
+(ops/spline_eval.py).  This module removes the tables from the hot path
+entirely.
+
+Key observation: the knot vectors are *uniform* (spline_tables.make_knots),
+so between consecutive breakpoints t_m = m/(n_knots-1) every basis function
+T_j is a single polynomial of degree <= spline order.  At init we extract
+those local polynomials exactly (float64 Vandermonde interpolation at
+Chebyshev nodes, verified against the exact recursions of
+spline_tables.{m,i,b}_basis_with_derivs to ~1e-9); at run time
+
+    f(x) = sum_j c_j T_j(x)
+         = Horner( onehot(cell(x)) . reshape( c @ A ), s(x) )
+
+is ONE small MXU matmul (batch, n_bases) @ (n_bases, n_cells*(deg+2)), a
+VPU one-hot cell select (n_cells ~ 20-30 compares), and a Horner chain in
+the local coordinate s = x*n_cells - cell.  No gathers, no HBM-resident
+tables, and — because Horner is plain polynomial arithmetic — *exact*
+derivatives of every order through ordinary autodiff: the custom-JVP
+derivative-table chain of the table path (and its truncation at order 3)
+is unnecessary here.  This is also an accuracy upgrade: the table path
+carries O(mesh^-2) linear-interpolation error (~1e-7 in values, ~1e-4 in
+second derivatives at mesh 2000); the polynomial path is exact to f32
+rounding.
+
+Reference counterpart: the Python-unrolled per-basis scalar table gathers of
+isplines_jax.py:45-56 / bsplines_jax.py:19-38 / msplines_jax.py:30-49 — the
+same math, three designs removed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from waveflow_tpu.ops.spline_tables import (
+    BSplineTables, SplineTables, b_basis_with_derivs, i_basis_with_derivs,
+    m_basis_with_derivs, make_knots,
+)
+
+_EXACT_BASIS = {
+    'M': m_basis_with_derivs,
+    'I': i_basis_with_derivs,
+    'B': b_basis_with_derivs,
+}
+# total end-knot multiplicity per family (spline_tables.build_*_tables)
+_MULTIPLICITY = {'M': lambda k: k, 'I': lambda k: k + 1, 'B': lambda k: k + 1}
+
+
+def _chebyshev_nodes(n: int) -> np.ndarray:
+    """Chebyshev nodes of the first kind on (0, 1) — strictly interior, so
+    the half-open breakpoint convention of the recursions never bites."""
+    k = np.arange(n)
+    return 0.5 - 0.5 * np.cos((2 * k + 1) * np.pi / (2 * n))
+
+
+def build_local_polynomials(kind: str, degree: int, n_internal_knots: int,
+                            basis_values_fn=None) -> np.ndarray:
+    """(n_bases, n_cells, ncoef) float64 local polynomial coefficients.
+
+    Cell m covers [m/n_cells, (m+1)/n_cells]; coefficients are in the local
+    coordinate s = x*n_cells - m in [0, 1]:  T_j(x) = sum_k A[j,m,k] s^k.
+
+    ``basis_values_fn(x) -> (n_bases, P)`` overrides the exact-recursion
+    sampler (used for the orthonormalized B basis, which is a fixed linear
+    combination of the raw B basis).
+    """
+    if basis_values_fn is None:
+        t = make_knots(n_internal_knots, _MULTIPLICITY[kind](degree))
+        exact = _EXACT_BASIS[kind]
+
+        def basis_values_fn(x):
+            return exact(np.asarray(x), t, degree, n_derivatives=1)[0]
+
+    n_cells = n_internal_knots - 1
+    ncoef = degree + 2          # covers every family: M deg k-1, B deg k,
+    #                             I deg k+1 (integral of an order-k+1 M)
+    nodes = _chebyshev_nodes(ncoef)                       # (ncoef,) in (0,1)
+    # Vandermonde in the local coordinate (shared across cells)
+    V = nodes[:, None] ** np.arange(ncoef)[None, :]       # (ncoef, ncoef)
+    h = 1.0 / n_cells
+    xs = (np.arange(n_cells)[:, None] + nodes[None, :]) * h   # (n_cells, ncoef)
+    vals = basis_values_fn(xs.reshape(-1))                # (n_bases, n_cells*ncoef)
+    n_bases = vals.shape[0]
+    vals = vals.reshape(n_bases, n_cells, ncoef)
+    # solve V a = vals for each (basis, cell): a = V^-1 vals
+    A = np.linalg.solve(V, vals.transpose(1, 2, 0))       # (n_cells, ncoef, n_bases)
+    A = np.ascontiguousarray(A.transpose(2, 0, 1))        # (n_bases, n_cells, ncoef)
+
+    # verification: the fit must reproduce the exact recursion at off-node
+    # interior points, proving each basis IS a single degree<=ncoef-1
+    # polynomial per cell (i.e. the breakpoints really are the knots)
+    rng = np.random.default_rng(0)
+    s_chk = rng.uniform(0.05, 0.95, size=7)
+    x_chk = (np.arange(n_cells)[:, None] + s_chk[None, :]) * h
+    exact_chk = basis_values_fn(x_chk.reshape(-1)).reshape(n_bases, n_cells, -1)
+    powers = s_chk[:, None] ** np.arange(ncoef)[None, :]  # (7, ncoef)
+    poly_chk = np.einsum('jmk,sk->jms', A, powers)
+    scale = max(1.0, np.abs(exact_chk).max())
+    err = np.abs(poly_chk - exact_chk).max() / scale
+    if err > 1e-8:
+        raise AssertionError(
+            f"local-polynomial extraction failed for {kind} degree {degree} "
+            f"({n_internal_knots} knots): relative residual {err:.2e} — the "
+            "basis is not piecewise-polynomial on the assumed cells")
+    return A
+
+
+class PolySplineEvaluator:
+    """Gather-free batched evaluator: one MXU matmul + Horner per call.
+
+    Drop-in for the hot-path subset of ops.spline_eval.SplineEvaluator:
+      __call__(coeffs, x, d)        sum_j c_j T_j^{(d)}(x)
+      value_and_derivative(c, x)    (f, f') in one matmul (IMADE forward)
+    Derivatives through jax.grad/jvp are the exact spline derivatives —
+    no derivative tables, no custom JVPs.
+    """
+
+    def __init__(self, A: np.ndarray):
+        # A: (n_bases, n_cells, ncoef) float64 from build_local_polynomials
+        self.n_bases, self.n_cells, self.ncoef = A.shape
+        # matmul layout: (n_bases, n_cells*ncoef) f32
+        self.A = jnp.asarray(A.reshape(self.n_bases, -1), dtype=jnp.float32)
+
+    def _local(self, coeffs: jnp.ndarray, x: jnp.ndarray):
+        """Per-sample local poly coeffs (..., ncoef), clamped coordinate
+        s_c in [0,1], and overhang ds = s - s_c (nonzero only outside the
+        domain: there the evaluation extends LINEARLY from the boundary —
+        finite like the table path's lerp extrapolation, instead of the
+        degree-(ncoef-1) polynomial blow-up; ψ consumers feed out-of-sector
+        coordinates here, e.g. unsorted fermions before the parity sort).
+
+        HIGHEST precision on the contraction: it sets ψ and its Laplacian;
+        TPU default f32 matmuls take bf16 MXU passes (~8e-3 rel error).
+        """
+        P = jnp.matmul(coeffs, self.A,
+                       precision=jax.lax.Precision.HIGHEST)
+        P = P.reshape(P.shape[:-1] + (self.n_cells, self.ncoef))
+        pos = x * self.n_cells
+        idx = jax.lax.stop_gradient(
+            jnp.clip(jnp.floor(pos), 0, self.n_cells - 1))
+        s = pos - idx
+        s_c = jnp.clip(s, 0.0, 1.0)
+        cell_ids = jax.lax.broadcasted_iota(
+            jnp.int32, x.shape + (self.n_cells,), x.ndim)
+        sel = cell_ids == idx[..., None].astype(jnp.int32)
+        local = jnp.sum(jnp.where(sel[..., None], P, 0.0), axis=-2)
+        return local, s_c, s - s_c
+
+    def _horner(self, local: jnp.ndarray, s: jnp.ndarray, d: int):
+        """d-th s-derivative of the local polynomial at s (s units —
+        multiply by n_cells**d for x units)."""
+        if d >= self.ncoef:
+            return jnp.zeros_like(s)
+        fall = np.ones(self.ncoef - d)
+        for i in range(self.ncoef - d):
+            f = 1.0
+            for j in range(d):
+                f *= (i + d - j)
+            fall[i] = f
+        v = local[..., -1] * fall[-1]
+        for k in range(self.ncoef - d - 2, -1, -1):
+            v = v * s + local[..., k + d] * fall[k]
+        return v
+
+    def __call__(self, coeffs: jnp.ndarray, x: jnp.ndarray,
+                 d: int = 0) -> jnp.ndarray:
+        """sum_j coeffs[..., j] T_j^{(d)}(x): coeffs (..., n_bases), x (...,)."""
+        if d >= self.ncoef:
+            return jnp.zeros_like(x)
+        local, s_c, ds = self._local(coeffs, x)
+        v = self._horner(local, s_c, d) + self._horner(local, s_c, d + 1) * ds
+        return v * float(self.n_cells) ** d
+
+    def value_and_derivative(self, coeffs: jnp.ndarray, x: jnp.ndarray):
+        """(f, df/dx) from one matmul + a triple-Horner chain — the IMADE
+        forward's replacement for SplineEvaluator.pair."""
+        local, s_c, ds = self._local(coeffs, x)
+        # jet Horner: value, first and second s-derivatives in one sweep
+        v = local[..., -1]
+        dv = jnp.zeros_like(v)
+        d2v = jnp.zeros_like(v)
+        for k in range(self.ncoef - 2, -1, -1):
+            d2v = d2v * s_c + 2.0 * dv
+            dv = dv * s_c + v
+            v = v * s_c + local[..., k]
+        return v + dv * ds, (dv + d2v * ds) * self.n_cells
+
+    # pair-compatible alias (same contract as SplineEvaluator.pair at d=0)
+    def pair(self, coeffs: jnp.ndarray, x: jnp.ndarray, d: int = 0):
+        if d == 0:
+            return self.value_and_derivative(coeffs, x)
+        return self(coeffs, x, d), self(coeffs, x, d + 1)
+
+
+_POLY_CACHE: dict = {}
+
+
+def make_poly_evaluator(tables: SplineTables,
+                        use_ob: bool = False) -> PolySplineEvaluator:
+    """Polynomial evaluator consistent with a SplineTables set.
+
+    ``use_ob`` builds the orthonormalized B basis OB = b_to_ob @ B using the
+    SAME basis-change matrix as the table set, so coefficients produced via
+    tables.ob_to_b evaluate identically (to f32) against either backend.
+    """
+    key = (tables.kind, tables.degree, tables.n_internal_knots,
+           tables.n_mesh if use_ob else None, use_ob)
+    if key in _POLY_CACHE:
+        return _POLY_CACHE[key]
+    if use_ob:
+        if not isinstance(tables, BSplineTables):
+            raise ValueError("use_ob requires B-spline tables")
+        t = make_knots(tables.n_internal_knots, tables.degree + 1)
+        b_to_ob = np.asarray(tables.b_to_ob, dtype=np.float64)
+
+        def ob_values(x):
+            b = b_basis_with_derivs(np.asarray(x), t, tables.degree,
+                                    n_derivatives=1)[0]
+            return b_to_ob @ b
+
+        A = build_local_polynomials('B', tables.degree,
+                                    tables.n_internal_knots,
+                                    basis_values_fn=ob_values)
+    else:
+        A = build_local_polynomials(tables.kind, tables.degree,
+                                    tables.n_internal_knots)
+    if A.shape[0] != tables.n_bases:
+        raise AssertionError(
+            f"polynomial basis count {A.shape[0]} != table basis count "
+            f"{tables.n_bases} for {tables.kind}")
+    ev = PolySplineEvaluator(A)
+    _POLY_CACHE[key] = ev
+    return ev
