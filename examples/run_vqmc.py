@@ -77,7 +77,11 @@ def main():
                     sampler=args.sampler, optimizer=args.optimizer,
                     mcmc_sweeps=args.mcmc_sweeps,
                     spring_momentum=args.spring_momentum,
-                    sr_max_update_norm=(args.sr_max_update_norm or None),
+                    # <= 0 disables (a negative value would silently FLIP
+                    # the update direction through _norm_cap's scale)
+                    sr_max_update_norm=(args.sr_max_update_norm
+                                        if args.sr_max_update_norm > 0
+                                        else None),
                     interactions=not args.no_interactions,
                     data_parallel=args.data_parallel)
     trainer = VMCTrainer(cfg)

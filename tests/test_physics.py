@@ -289,6 +289,34 @@ def test_exact_2d_2e_free_fermions_matches_analytic():
                                rtol=1e-6)
 
 
+def test_exact_2d_2e_x_sector_bound():
+    """The x-coincidence-constrained ED (the variational floor of the
+    'paired2d' ansatz family): (a) for FREE fermions the constraint costs
+    exactly nothing — the free ground state antisymmetrizes in x alone, so
+    its nodal set IS {x_a = x_b}; (b) with interactions the sector energy
+    upper-bounds the exact one (Dirichlet restriction is variational)."""
+    from waveflow_tpu.physics import exact_ground_state_2d_2e
+    e_free, _, _, _ = exact_ground_state_2d_2e([], 5.0, n_grid=16,
+                                               interactions=False)
+    e_free_s, _, _, _ = exact_ground_state_2d_2e([], 5.0, n_grid=16,
+                                                 interactions=False,
+                                                 x_sector=True)
+    np.testing.assert_allclose(e_free_s, e_free, rtol=0, atol=1e-10)
+
+    protons = [[0.0, 0.0], [0.0, 0.0]]
+    e0, _, _, _ = exact_ground_state_2d_2e(protons, 5.0, n_grid=16)
+    es, psi_s, _, x = exact_ground_state_2d_2e(protons, 5.0, n_grid=16,
+                                               x_sector=True)
+    assert es >= e0 - 1e-10
+    assert es - e0 < 0.05        # the sector cost is small, not huge
+    # the constrained state really vanishes on the x-coincidence plane
+    n = len(x)
+    N = n * n
+    a_idx, b_idx = np.triu_indices(N, k=1)
+    same_x = (a_idx // n) == (b_idx // n)
+    assert np.abs(psi_s[same_x]).max() == 0.0
+
+
 def test_exact_2d_2e_interaction_raises_energy():
     """Pair repulsion is positive: interacting 2D He ground energy sits
     above the non-interacting one, and both lie below 2× the 1-electron

@@ -155,11 +155,14 @@ def make_sharded_spring_window(psi, h_fn, sample_fn, learning_rate: float,
                                axis_name: str = WALKER_AXIS,
                                damping: float = 1e-3,
                                momentum: float = 0.99,
-                               max_update_norm: float | None = None):
+                               max_update_norm: float | None = None,
+                               score_row_clip: float | None = 10.0,
+                               score_row_clip_warmup: int | None = 1000):
     """Walker-sharded min-SR/SPRING window: each device computes its local
     (B_local, P) score block, the blocks are all-gathered so every device
     solves the identical global (B, B) Gram system (vmc/sr.py).  The
-    SPRING opt_state (previous flat update) is replicated."""
+    SPRING opt_state (previous flat update + step/skipped counters) is
+    replicated."""
     from waveflow_tpu.vmc.estimators import make_window_from_step
     from waveflow_tpu.vmc.sr import make_spring_train_step
 
@@ -170,7 +173,9 @@ def make_sharded_spring_window(psi, h_fn, sample_fn, learning_rate: float,
     local_batch = global_batch // n_dev
     step = make_spring_train_step(psi, h_fn, learning_rate, damping=damping,
                                   momentum=momentum, pmean_axis=axis_name,
-                                  max_update_norm=max_update_norm)
+                                  max_update_norm=max_update_norm,
+                                  score_row_clip=score_row_clip,
+                                  score_row_clip_warmup=score_row_clip_warmup)
     local_window = make_window_from_step(step, sample_fn, local_batch, window)
 
     def local(params, opt_state, keys, baseline):

@@ -183,7 +183,8 @@ def exact_ground_state_2d_1e(protons, box_length: float, n_grid: int = 200):
 
 
 def exact_ground_state_2d_2e(protons, box_length: float, n_grid: int = 40,
-                             interactions: bool = True, n_states: int = 1):
+                             interactions: bool = True, n_states: int = 1,
+                             x_sector: bool = False):
     """Ground state of TWO spinless fermions in the 2D box [-L, L]²:
     (energy, psi_pairs (m,), sites (N, 2), x); with ``n_states`` > 1,
     (energies (k,), psi_pairs (m, k), sites, x) — needed when the ground
@@ -208,6 +209,15 @@ def exact_ground_state_2d_2e(protons, box_length: float, n_grid: int = 40,
 
     psi_pairs is normalized so 2 Σ_{a<b} ψ² h⁴ = 1 (full-square
     normalization with antisymmetry); sites[s] = (x_i, y_j) for site s.
+
+    ``x_sector=True`` additionally imposes the Dirichlet nodal constraint
+    ψ = 0 on the x-coincidence plane {x_a = x_b} (pair states whose sites
+    share an x column are dropped, and hops onto them vanish).  The
+    resulting ground energy is the variational FLOOR of any ansatz whose
+    nodal set contains {x_a = x_b} — i.e. the x-sorted 'paired2d' sector
+    family — so E(x_sector) − E(exact) is the measured sector cost
+    (VERDICT r3: attribute the He-2d-2e gap into sector / capacity /
+    optimization terms).
     """
     x = np.linspace(-box_length, box_length, n_grid + 2)[1:-1]
     n = len(x)
@@ -237,13 +247,23 @@ def exact_ground_state_2d_2e(protons, box_length: float, n_grid: int = 40,
         d2 = ((sites[pairs[:, 0]] - sites[pairs[:, 1]]) ** 2).sum(-1)
         diag = diag + 1.0 / np.sqrt(1.0 + d2)
 
-    rows = [np.arange(m, dtype=np.int64)]
-    cols = [np.arange(m, dtype=np.int64)]
-    vals = [diag]
     off = -0.5 / h ** 2
     # site s = i*n + j; hops: i±1 (s±n, any), j±1 (s±1, only within the row)
     site_i = np.arange(N) // n
     site_j = np.arange(N) % n
+
+    # optional x-sector restriction: compact reindex of the kept pair basis
+    if x_sector:
+        keep = site_i[pairs[:, 0]] != site_i[pairs[:, 1]]
+    else:
+        keep = np.ones(m, dtype=bool)
+    remap = np.full(m, -1, dtype=np.int64)
+    remap[keep] = np.arange(int(keep.sum()), dtype=np.int64)
+    m_kept = int(keep.sum())
+
+    rows = [remap[keep]]
+    cols = [remap[keep]]
+    vals = [diag[keep]]
 
     def neighbor(s, d):
         """Neighbor site index or -1 if off-grid; d in {+n,-n,+1,-1}."""
@@ -259,21 +279,28 @@ def exact_ground_state_2d_2e(protons, box_length: float, n_grid: int = 40,
         for d in (n, -n, 1, -1):
             new = pairs.copy().astype(np.int64)
             new[:, p] = neighbor(pairs[:, p], d)
-            ok = (new[:, p] >= 0) & (new[:, 0] != new[:, 1])
+            ok = keep & (new[:, p] >= 0) & (new[:, 0] != new[:, 1])
             na, nb = new[ok, 0], new[ok, 1]
             swapped = na > nb
             lo = np.where(swapped, nb, na)
             hi = np.where(swapped, na, nb)
-            rows.append(src_all[ok])
-            cols.append(rank_of(lo, hi))
-            vals.append(np.where(swapped, -off, off))
+            dst = remap[rank_of(lo, hi)]
+            ok2 = dst >= 0          # hop onto the nodal plane: Dirichlet 0
+            rows.append(remap[src_all[ok]][ok2])
+            cols.append(dst[ok2])
+            vals.append(np.where(swapped, -off, off)[ok2])
 
     H = sp.coo_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(m, m)).tocsr()
+        shape=(m_kept, m_kept)).tocsr()
     evals, evecs = eigsh(H, k=n_states, which='SA')
     order = np.argsort(evals)
     evals, evecs = evals[order], evecs[:, order]
+    if x_sector:
+        # scatter back to the full pair basis (zeros on the nodal plane)
+        full = np.zeros((m, evecs.shape[1]))
+        full[keep] = evecs
+        evecs = full
     evecs = evecs / np.sqrt(2.0 * (evecs ** 2).sum(0) * h ** 4)
     if n_states == 1:
         return float(evals[0]), evecs[:, 0], sites, x

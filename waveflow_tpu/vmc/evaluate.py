@@ -35,9 +35,16 @@ class EnergyEvaluation(NamedTuple):
     e_median: float          # median of per-block medians
     e_clipped: float         # blocked clipped mean (median ± 5×meanAD)
     e_clipped_stderr: float
-    accept_rate: float
+    accept_rate: float       # MEAN accept rate over measurement blocks
     n_samples: int           # total E_L evaluations entering the estimate
     block_means: np.ndarray  # (n_blocks,)
+    # block-doubling validation of the error bar: stderr recomputed after
+    # merging adjacent blocks 2x / 4x.  If sweeps_per_block decorrelates
+    # blocks these agree with e_stderr (up to the ~1/sqrt(2 n_blocks)
+    # sampling noise of a variance estimate); a stderr that GROWS under
+    # doubling means residual autocorrelation and an underestimated bar.
+    e_stderr_2x: float = float('nan')
+    e_stderr_4x: float = float('nan')
 
 
 def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
@@ -103,15 +110,25 @@ def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
     means = np.asarray(means)
     cmeans = np.asarray(cmeans)
     B = int(np.asarray(positions).shape[0])
+
+    def _doubled_stderr(m: np.ndarray, factor: int) -> float:
+        k = (len(m) // factor) * factor
+        if k < 2 * factor:
+            return float('nan')
+        merged = m[:k].reshape(-1, factor).mean(axis=1)
+        return float(merged.std(ddof=1) / np.sqrt(len(merged)))
+
     return EnergyEvaluation(
         e_mean=float(means.mean()),
         e_stderr=float(means.std(ddof=1) / np.sqrt(n_blocks)),
         e_median=float(np.median(np.asarray(medians))),
         e_clipped=float(cmeans.mean()),
         e_clipped_stderr=float(cmeans.std(ddof=1) / np.sqrt(n_blocks)),
-        accept_rate=float(np.asarray(rates)[-1]),
+        accept_rate=float(np.asarray(rates).mean()),
         n_samples=n_blocks * B,
-        block_means=means)
+        block_means=means,
+        e_stderr_2x=_doubled_stderr(means, 2),
+        e_stderr_4x=_doubled_stderr(means, 4))
 
 
 def evaluate_trainer(trainer, n_blocks: int = 64, sweeps_per_block: int = 25,
@@ -125,14 +142,24 @@ def evaluate_trainer(trainer, n_blocks: int = 64, sweeps_per_block: int = 25,
     rng = jax.random.PRNGKey(seed)
     rng, k = jax.random.split(rng)
     positions = trainer.sample_jit(k, trainer.params, B)
-    if int(trainer.n_particle) <= 1:
+    # use the trainer's RESOLVED coordinate map, not a re-derivation from
+    # (n_particle, n_space_dimension): a multi-electron run explicitly
+    # configured with xu_coord_type='independent' trains unsorted, and
+    # sorted-sector proposals would bias its frozen-params energy
+    xu = getattr(trainer, 'xu_coord_type', None)
+    if xu is None:  # older pickled trainers: fall back to the derivation
+        if int(trainer.n_particle) <= 1 or c.n_space_dimension > 2:
+            xu = 'independent'
+        elif c.n_space_dimension == 2:
+            xu = 'paired2d'
+        else:
+            xu = c.xu_coord_type
+    if int(trainer.n_particle) <= 1 or xu == 'independent':
         sort_fermions = False
-    elif c.n_space_dimension == 1:
-        sort_fermions = True
-    elif c.n_space_dimension == 2:
+    elif xu == 'paired2d':
         sort_fermions = 'paired2d'
     else:
-        sort_fermions = False
+        sort_fermions = True
     return evaluate_energy(
         trainer.psi, trainer.h_fn, trainer.log_pdf, trainer.params,
         c.box_length, positions, rng, n_blocks=n_blocks,

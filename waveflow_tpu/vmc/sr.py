@@ -55,7 +55,16 @@ def make_sr_train_step(psi, h_fn, learning_rate: float,
                        max_update_norm: float | None = None):
     """step(params, opt_state, batch, baseline) -> (params, opt_state, loss)
     with opt_state = () — same contract as estimators.make_train_step, so
-    the fused-window scan and the trainer work unchanged."""
+    the fused-window scan and the trainer work unchanged.
+
+    Note: the batch-adaptive score-ROW clip of the SPRING path does not
+    exist here — matrix-free CG never materializes per-sample score rows,
+    and the damped CG solve (finite maxiter) is itself a regularizer that
+    tolerates cold-start batches the exact Cholesky solve cannot.  While
+    SPRING's row clip is active (its warmup window) the two paths therefore
+    compute different updates on batches containing near-node walkers; they
+    agree at exact CG convergence once the clip is off (tested in
+    tests/test_vmc.py::test_minsr_update_matches_cg_sr)."""
 
     def _pmean(x):
         return jax.lax.pmean(x, pmean_axis) if pmean_axis is not None else x
@@ -112,7 +121,9 @@ def make_sr_train_step(psi, h_fn, learning_rate: float,
 def make_spring_train_step(psi, h_fn, learning_rate: float,
                            damping: float = 1e-3, momentum: float = 0.99,
                            clip_scale: float = 5.0, pmean_axis=None,
-                           max_update_norm: float | None = None):
+                           max_update_norm: float | None = None,
+                           score_row_clip: float | None = 10.0,
+                           score_row_clip_warmup: int | None = 1000):
     """min-SR / SPRING natural-gradient step (TPU-first SR).
 
     The CG formulation above pays ~2·cg_iters serial jvp/vjp passes through
@@ -126,17 +137,40 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
 
     with Ō the (B, P) CENTERED per-sample score matrix O_k = ∂_k log|ψ|.
     That is two MXU matmuls + one (B, B) Cholesky solve — no serial CG.
-    μ = 0 recovers plain min-SR (mathematically the same update as the CG
-    path at exact convergence, tested in tests/test_vmc.py).
 
-    opt_state = flattened previous update δ_prev (zeros to start);
+    μ = 0 recovers plain min-SR — mathematically the same update as the CG
+    path at exact convergence *when the score-row clip is inactive*
+    (score_row_clip=None, or past the warmup; tested in tests/test_vmc.py).
+    While active, the clip regularizes the sample-space geometry in a way
+    the matrix-free CG path (which never materializes score rows) does not.
+
+    score_row_clip / score_row_clip_warmup: near-node walkers carry
+    ‖O_i‖ ~ 1/|ψ| up to ~1e8 at a RANDOM INIT, sending the Gram condition
+    number past f32's Cholesky — every cold-start batch is pathological and
+    the run never leaves NaN.  Rows with norm > score_row_clip×median are
+    shrunk onto that ball, but only for the first score_row_clip_warmup
+    steps: the pathology is transient, and keeping the clip on forever was
+    measured to cost ~4e-4 in converged flagship energy (round-3 verdict:
+    −1.81520 clipped-forever vs −1.81566 unclipped-after-warmup band).
+    warmup=None keeps it always on; score_row_clip=None disables entirely.
+    After warmup the finite-guard in _norm_cap still zeroes (skips) any
+    non-finite solve, and the ``skipped`` counter in opt_state surfaces
+    how often that happened (a persistently stalled optimizer is visible,
+    not silent).
+
+    opt_state = {'delta': flat previous update, 'step': int32 update count,
+    'skipped': int32 count of zeroed non-finite solves, 'fallbacks': int32
+    count of steps that needed the jittered-damping Cholesky retry};
     signature matches make_train_step so the fused windows and the MCMC
     windows accept it via train_step=...
 
     Under a walker-sharded mesh (``pmean_axis``): every device needs the
     GLOBAL (B, B) Gram matrix, so the local (B_local, P) score blocks are
-    all-gathered along the axis (cheap: P is a few thousand here) and the
-    solve is replicated — devices stay in lockstep like the CG path.
+    all-gathered along the axis and the solve is replicated — devices stay
+    in lockstep like the CG path.  Memory note: the gathered score matrix
+    is B_global × P floats PER DEVICE (e.g. 16384 × 26k params f32 ≈ 1.7 GB)
+    — see RESULTS.md "SPRING at scale" for the measured B×P crossover and
+    the regime where CG-SR or sub-batching is the right tool.
     """
     from jax.flatten_util import ravel_pytree
 
@@ -165,34 +199,63 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
         else:
             eps = eps_local
         B = O.shape[0]
-        # batch-adaptive score-row clip (same spirit as the E_L clip):
-        # near-node walkers carry ‖O_i‖ ~ 1/|ψ| up to ~1e8, which sends the
-        # Gram matrix's condition number past f32's Cholesky and NaNs the
-        # solve — at a random init EVERY batch is pathological and the run
-        # never starts.  Shrinking those rows onto a 10×median ball tames
-        # the geometry while leaving typical rows untouched.
-        row_norm = jnp.linalg.norm(O, axis=1)
-        row_cap = 10.0 * jnp.median(row_norm)
-        O = O * jnp.minimum(1.0, row_cap / (row_norm + 1e-30))[:, None]
+        if score_row_clip is not None:
+            # batch-adaptive score-row clip (transient, see docstring)
+            row_norm = jnp.linalg.norm(O, axis=1)
+            row_cap = score_row_clip * jnp.median(row_norm)
+            if score_row_clip_warmup is not None:
+                active = opt_state['step'] < score_row_clip_warmup
+                row_cap = jnp.where(active, row_cap, jnp.inf)
+            O = O * jnp.minimum(1.0, row_cap / (row_norm + 1e-30))[:, None]
         O = O - O.mean(0, keepdims=True)
         e_mean = jnp.mean(jnp.clip(e_stat, center - clip_scale * mad,
                                    center + clip_scale * mad))
         eps = eps - eps.mean()
 
-        prev = momentum * opt_state                          # (P,)
+        prev = momentum * opt_state['delta']                 # (P,)
         zeta = eps - O @ prev
-        gram = O @ O.T + B * damping * jnp.eye(B)            # (B, B), MXU
-        x = jax.scipy.linalg.solve(gram, zeta, assume_a='pos')
+        gram0 = O @ O.T                                      # (B, B), MXU
+        eye = jnp.eye(B)
+
+        # f32 Cholesky fails on a well-conditioned-looking PSD system
+        # surprisingly often once cond(gram) nears 1e8 (measured: ~50% of
+        # steps on a 64-walker toy).  Retry ladder: 10x then 100x damping —
+        # a conservative natural-gradient step instead of a silently zeroed
+        # one.  lax.cond keeps the fallbacks off the critical path.
+        def solve_at(mult):
+            g = gram0 + (mult * B * damping) * eye
+            return jax.scipy.linalg.solve(g, zeta, assume_a='pos')
+
+        x = solve_at(1.0)
+        fell_back = ~jnp.isfinite(x).all()
+        x = jax.lax.cond(fell_back, lambda: solve_at(10.0), lambda: x)
+        x = jax.lax.cond(jnp.isfinite(x).all(), lambda: x,
+                         lambda: solve_at(100.0))
         delta = O.T @ x + prev                               # (P,)
         # the capped δ is both applied AND stored: the momentum recursion
         # must not carry an uncapped explosion into the next step
+        finite = jnp.isfinite(delta).all()
+        # a non-finite solve zeroes the step (batch skipped, run continues)
+        # even when no trust region is configured
+        delta = jnp.where(finite, delta, jnp.zeros_like(delta))
         delta = _norm_cap(delta, learning_rate, max_update_norm)
         new_flat = flat0 - learning_rate * delta
-        return unravel(new_flat), delta, e_mean
+        new_state = {
+            'delta': delta,
+            'step': opt_state['step'] + 1,
+            'skipped': opt_state['skipped']
+            + jnp.where(finite, 0, 1).astype(jnp.int32),
+            'fallbacks': opt_state['fallbacks']
+            + jnp.where(fell_back, 1, 0).astype(jnp.int32),
+        }
+        return unravel(new_flat), new_state, e_mean
 
     def init_state(params):
         flat0, _ = ravel_pytree(params)
-        return jnp.zeros_like(flat0)
+        return {'delta': jnp.zeros_like(flat0),
+                'step': jnp.zeros((), jnp.int32),
+                'skipped': jnp.zeros((), jnp.int32),
+                'fallbacks': jnp.zeros((), jnp.int32)}
 
     step.init_state = init_state
     return step

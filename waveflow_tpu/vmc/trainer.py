@@ -47,6 +47,11 @@ class VMCConfig:
     i_spline_reg: float = 0.05
     i_spline_reverse_fun_tol: float = 1e-6
     n_spline_base_mesh_points: int = 2000
+    # spline forward backend on the hot ψ/Laplacian path: 'poly' (gather-free
+    # exact local-polynomial evaluation, ops/poly_eval.py — the adopted
+    # TPU path) or 'table' (cached-table lerp + custom-JVP derivative
+    # chain, the reference's numerics)
+    eval_backend: str = 'poly'
     seed: int = 2
     save_dir: str | None = None
     save_artifacts: bool = False      # psi grids / density slices / clouds
@@ -94,6 +99,13 @@ class VMCConfig:
     # 0.9 + lr 0.05 was the best SPRING setting in the r3 study
     # (results/sr_study.json); the headline run uses it
     spring_momentum: float = 0.9
+    # batch-adaptive score-row clip for SPRING cold starts: rows with
+    # ||O_i|| > clip x median are shrunk, but ONLY for the first
+    # `warmup` updates — keeping it on forever was measured to cost
+    # ~4e-4 in converged flagship energy (round-3 verdict / RESULTS.md).
+    # clip=None disables; warmup=None keeps it always on.
+    score_row_clip: float | None = 10.0
+    score_row_clip_warmup: int | None = 1000
     # trust region for the natural-gradient updates: cap ||lr*delta||_2.
     # Without it a single ill-conditioned batch throws the parameters out
     # of the basin (r3 sr_study: uncapped SPRING diverged to +7571 on the
@@ -157,6 +169,10 @@ class VMCTrainer:
                 "(sorted sector) and 2D (paired2d x-sorted sector)")
         elif c.n_space_dimension > 1:
             xu_coord_type = 'independent'
+        # the RESOLVED coordinate map (may differ from config.xu_coord_type);
+        # consumers deriving the fermionic sector (vmc/evaluate.py) must use
+        # this, not re-derive from (n_particle, n_space_dimension)
+        self.xu_coord_type = xu_coord_type
 
         init_fun = get_waveflow_model(
             self.input_dim,
@@ -166,7 +182,8 @@ class VMCTrainer:
             i_spline_reverse_fun_tol=c.i_spline_reverse_fun_tol,
             n_flow_layers=c.n_flow_layers, box_size=c.box_length,
             xu_coord_type=xu_coord_type,
-            n_spline_base_mesh_points=c.n_spline_base_mesh_points)
+            n_spline_base_mesh_points=c.n_spline_base_mesh_points,
+            eval_backend=c.eval_backend)
 
         rng = jax.random.PRNGKey(c.seed)
         self.init_rng, self.rng = jax.random.split(rng)
@@ -200,7 +217,9 @@ class VMCTrainer:
             spring_step = make_spring_train_step(
                 psi, self.h_fn, c.learning_rate, damping=c.sr_damping,
                 momentum=c.spring_momentum,
-                max_update_norm=c.sr_max_update_norm)
+                max_update_norm=c.sr_max_update_norm,
+                score_row_clip=c.score_row_clip,
+                score_row_clip_warmup=c.score_row_clip_warmup)
             self.optimizer = None
             self.opt_state = spring_step.init_state(params)
             self.step_jit = jax.jit(spring_step)
@@ -250,7 +269,9 @@ class VMCTrainer:
                     psi, self.h_fn, sample, c.learning_rate, c.batch_size,
                     c.window, self.mesh, damping=c.sr_damping,
                     momentum=c.spring_momentum,
-                    max_update_norm=c.sr_max_update_norm)
+                    max_update_norm=c.sr_max_update_norm,
+                    score_row_clip=c.score_row_clip,
+                    score_row_clip_warmup=c.score_row_clip_warmup)
             else:
                 self.sharded_window_jit = make_sharded_train_window(
                     psi, self.h_fn, sample, self.optimizer, c.batch_size,
@@ -283,7 +304,9 @@ class VMCTrainer:
                         psi, self.h_fn, c.learning_rate,
                         damping=c.sr_damping, momentum=c.spring_momentum,
                         pmean_axis=axis,
-                        max_update_norm=c.sr_max_update_norm)
+                        max_update_norm=c.sr_max_update_norm,
+                        score_row_clip=c.score_row_clip,
+                        score_row_clip_warmup=c.score_row_clip_warmup)
             if self.mesh is not None:
                 from waveflow_tpu.parallel import (make_sharded_mala_window,
                                                    make_sharded_mcmc_window)
@@ -382,6 +405,22 @@ class VMCTrainer:
                       "(pre-flatten checkpoint?) — re-initializing adam "
                       "moments", flush=True)
                 self.opt_state = fresh
+        elif (isinstance(self.opt_state, dict) and 'delta' in self.opt_state
+                and not isinstance(restored_opt, dict)):
+            # pre-round-4 SPRING checkpoints carried the flat delta alone;
+            # migrate into the counter-carrying state (step := epoch so the
+            # transient row-clip warmup doesn't re-trigger on resume)
+            self.opt_state = {
+                'delta': jax.device_put(jnp.asarray(restored_opt)),
+                'step': jnp.asarray(state['epoch'], jnp.int32),
+                'skipped': jnp.zeros((), jnp.int32),
+                'fallbacks': jnp.zeros((), jnp.int32)}
+        elif isinstance(self.opt_state, dict) and isinstance(restored_opt, dict):
+            # dict-state checkpoints: fill any counters added since
+            merged = {k: jax.device_put(v) for k, v in restored_opt.items()}
+            for k, v in self.opt_state.items():
+                merged.setdefault(k, v)
+            self.opt_state = merged
         else:
             self.opt_state = jax.device_put(restored_opt)
         self.epoch = state['epoch']
