@@ -66,10 +66,10 @@ def ancestral_case(batch, window, backend):
     lowered = window_jit.lower(params, opt_state, jax.random.PRNGKey(1),
                                jnp.zeros(()))
     flops_w, bytes_w = cost_of(lowered.compile())
-    dt, losses = time_windows(params, opt_state, window_jit, window,
-                              n_iters=3 if batch <= 4096 else 2)
+    dt, last_loss = time_windows(params, opt_state, window_jit, window,
+                                 n_iters=3 if batch <= 4096 else 2)
     return row_from('ancestral', backend, batch, window, flops_w, bytes_w,
-                    dt, loss=jnp.asarray(losses)[-1])
+                    dt, loss=last_loss)
 
 
 def metropolis_case(batch, window, backend, sweeps=1):

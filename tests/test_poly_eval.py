@@ -91,6 +91,44 @@ def test_autodiff_derivatives_are_exact():
     assert np.abs(np.asarray(g2) - want2).max() / scale < 5e-4
 
 
+def test_basis_jet_matches_exact_and_chains():
+    """basis_jet: one matmul yields T^{(d)} for d=0..3 exactly, and its
+    custom-JVP x-tangent equals the next-order slice (the Laplacian's
+    nested-forward access pattern)."""
+    tabs = get_tables('I', 6, 23, n_mesh=2000)
+    pev = make_poly_evaluator(tabs)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (64,)), jnp.float32)
+    c = jnp.asarray(rng.uniform(0.1, 1.0, (64, tabs.n_bases)), jnp.float32)
+    B = pev.basis_jet(x)                           # (64, 4, n_b)
+    for d in range(4):
+        got = (B[:, d, :] * c).sum(-1)
+        want = _exact_contraction('I', 6, 23, c, x, d)
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(np.asarray(got) - want).max() / scale < 5e-5, d
+
+    # nested jvp of the order-0 contraction == order-2 contraction
+    def f0(xx):
+        return (pev.basis_jet(xx)[..., 0, :] * c).sum(-1)
+
+    df = lambda xx: jax.jvp(f0, (xx,), (jnp.ones_like(xx),))[1]
+    _, d2 = jax.jvp(df, (x,), (jnp.ones_like(x),))
+    want2 = _exact_contraction('I', 6, 23, c, x, 2)
+    scale = max(1.0, np.abs(want2).max())
+    assert np.abs(np.asarray(d2) - want2).max() / scale < 5e-4
+
+    # reverse mode works through the custom JVP (parameter-gradient path)
+    g = jax.grad(lambda xx: f0(xx).sum())(x)
+    want1 = _exact_contraction('I', 6, 23, c, x, 1)
+    scale = max(1.0, np.abs(want1).max())
+    assert np.abs(np.asarray(g) - want1).max() / scale < 5e-4
+
+    # linear extension outside the domain: finite, C1 at the boundary
+    x_out = jnp.asarray([-0.2, 1.3], jnp.float32)
+    B_out = pev.basis_jet(x_out)
+    assert np.isfinite(np.asarray(B_out)).all()
+
+
 def test_value_and_derivative_pair():
     tabs = get_tables('I', 6, 23, n_mesh=2000)
     pev = make_poly_evaluator(tabs)

@@ -68,6 +68,17 @@ def get_benchmark_model(model_name: str = 'MFlow', spline_reg: float = 0.02,
             layers.append(Reverse())
         from waveflow_tpu.models.priors import Uniform
         return Flow(Serial(*layers), Uniform(), prior_support=(0.0, 1.0))
+    if model_name == 'RQSFlow':
+        # modern rational-quadratic-spline coupling flow (bijections/rqs.py
+        # — the clean reimplementation of the reference's dead
+        # neural_splines.py layer, SURVEY row 10), same Normal prior as the
+        # affine Flow so the comparison isolates the bijection family
+        from waveflow_tpu.bijections import NeuralSplineCoupling
+        layers = []
+        for _ in range(n_flow_layers):
+            layers.append(NeuralSplineCoupling(n_bins=8, interval=3.0))
+            layers.append(Reverse())
+        return Flow(Serial(*layers), Normal(-0.5))
     raise ValueError(f"unknown model {model_name!r}")
 
 

@@ -67,10 +67,16 @@ def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
 
         def direct_fun(params, inputs, **kwargs):
             sp = spline_params(params, inputs)
-            # fused (value, derivative) in one kernel; under 'poly' the
-            # Laplacian's nested JVPs are exact polynomial derivatives with
-            # zero extra table traffic
-            outputs, deriv = fwd_ev.pair(sp, inputs)   # (B, D) each
+            if eval_backend == 'poly':
+                # fused basis jet: ONE matmul yields the exact basis at
+                # orders 0..3; value/derivative are elementwise dots, and
+                # the Laplacian's nested JVPs + parameter cotangents all
+                # reuse the same matmul through the custom-JVP chain
+                B = fwd_ev.basis_jet(inputs)           # (B, D, 4, n_b)
+                outputs = (sp * B[..., 0, :]).sum(-1)
+                deriv = (sp * B[..., 1, :]).sum(-1)
+            else:
+                outputs, deriv = fwd_ev.pair(sp, inputs)   # (B, D) each
             log_det = jnp.log(deriv + LOG_TOL).sum(-1)
             return outputs, log_det
 
@@ -82,14 +88,13 @@ def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
                     ev, sp[:, i_col], inputs[:, i_col], n_bisect=n_bisect)
                 if eval_backend == 'poly':
                     # the exact inverse above inverts the TABLE-interpolated
-                    # spline; two Newton steps against the polynomial forward
-                    # close the ~1e-6 table-vs-poly gap to f32 rounding
-                    for _ in range(2):
-                        f, df = fwd_ev.value_and_derivative(
-                            sp[:, i_col], col)
-                        col = jnp.clip(
-                            col - (f - inputs[:, i_col])
-                            / jnp.maximum(df, 1e-12), 0.0, 1.0)
+                    # spline; ONE Newton step against the polynomial forward
+                    # closes the ~1e-6 table-vs-poly gap quadratically
+                    # (~1e-12, i.e. f32 rounding)
+                    f, df = fwd_ev.value_and_derivative(sp[:, i_col], col)
+                    col = jnp.clip(
+                        col - (f - inputs[:, i_col])
+                        / jnp.maximum(df, 1e-12), 0.0, 1.0)
                 outputs = outputs.at[:, i_col].set(col)
             return outputs, 0
 

@@ -84,7 +84,12 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
             u, log_det = direct_fun(transform_params, inputs)
             c = ob_coeffs(sp_params, u)
             u_c = jnp.clip(u, 0.0, 1.0)
-            amps = fwd_ob(c, u_c)                 # (B, D) per-dim amplitudes
+            if eval_backend == 'poly':
+                # fused basis jet (see bijections/imade.py): one matmul,
+                # exact derivatives through the custom-JVP chain
+                amps = (c * fwd_ob.basis_jet(u_c)[..., 0, :]).sum(-1)
+            else:
+                amps = fwd_ob(c, u_c)             # (B, D) per-dim amplitudes
             return amps, log_det
 
         def log_pdf(params, inputs, return_sample=False):
@@ -94,7 +99,10 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
             u, log_det = direct_fun(transform_params, inputs)
             c = ob_coeffs(sp_params, u)
             u_c = jnp.clip(u, 0.0, 1.0)
-            probs = fwd_ob(c, u_c) ** 2
+            if eval_backend == 'poly':
+                probs = (c * fwd_ob.basis_jet(u_c)[..., 0, :]).sum(-1) ** 2
+            else:
+                probs = fwd_ob(c, u_c) ** 2
             if constrained_left.size:
                 probs = probs.at[:, constrained_left].set(
                     probs[:, constrained_left] / 2)

@@ -123,11 +123,94 @@ class PolySplineEvaluator:
     no derivative tables, no custom JVPs.
     """
 
+    N_JET = 4   # basis_jet orders 0..3 (all the Laplacian chain consumes)
+
     def __init__(self, A: np.ndarray):
         # A: (n_bases, n_cells, ncoef) float64 from build_local_polynomials
         self.n_bases, self.n_cells, self.ncoef = A.shape
         # matmul layout: (n_bases, n_cells*ncoef) f32
         self.A = jnp.asarray(A.reshape(self.n_bases, -1), dtype=jnp.float32)
+        # A_jet: (n_cells*ncoef, N_JET*n_bases) for the basis-jet matmul
+        #   basis_jet(x) = W(x) @ A_jet,  W = onehot(cell) ⊗ s-powers —
+        # column (d, j) holds the coefficients of T_j^{(d)} so ONE matmul
+        # yields the exact basis matrix at derivative orders 0..3 at once.
+        nd = min(self.N_JET, self.ncoef)
+        # s^k term of T_j^{(d)} on cell m is A[j, m, k+d] * (k+d)!/k! * n^d
+        A_jet = np.zeros((self.n_cells, self.ncoef, self.N_JET, self.n_bases))
+        for d in range(nd):
+            scale = float(self.n_cells) ** d
+            for k in range(self.ncoef - d):
+                fall = 1.0
+                for j in range(d):
+                    fall *= (k + d - j)
+                A_jet[:, k, d, :] = (A[:, :, k + d] * (fall * scale)).T
+        self.A_jet = jnp.asarray(
+            A_jet.reshape(self.n_cells * self.ncoef, -1), dtype=jnp.float32)
+        self._basis_jet_fn = self._build_basis_jet()
+
+    def _build_basis_jet(self):
+        """basis_jet(x) -> (..., N_JET, n_bases): the EXACT basis matrix
+        T_j^{(d)}(x) for d = 0..3, from ONE (rows, n_cells*ncoef) @
+        (n_cells*ncoef, 4*n_bases) MXU matmul.
+
+        This is the fused-basis formulation for the Laplacian path: with a
+        custom JVP whose x-tangent is the (d+1)-order slice of the SAME
+        output, nested forward-mode derivatives and parameter cotangents
+        all reuse one matmul — no per-tangent re-projection through A (the
+        +16% h_fn regression of the per-instantiation form), no per-order
+        table gathers (the reference/table design).  The top tabulated
+        order's x-tangent is truncated, exactly like the table chain's
+        (isplines_jax.py:60-66) — orders consumed by the VMC Laplacian
+        stop at 3.  Out-of-domain x extends linearly from the boundary
+        cell (see _local).
+        """
+        n_cells, ncoef, n_b = self.n_cells, self.ncoef, self.n_bases
+        NJ = self.N_JET
+        A_jet = self.A_jet
+
+        def raw(x):
+            pos = x * n_cells
+            idx = jax.lax.stop_gradient(
+                jnp.clip(jnp.floor(pos), 0, n_cells - 1))
+            s_full = pos - idx
+            s = jnp.clip(s_full, 0.0, 1.0)
+            ds = (s_full - s) / n_cells          # x-units overhang
+            cell_ids = jax.lax.broadcasted_iota(
+                jnp.int32, x.shape + (n_cells,), x.ndim)
+            onehot = (cell_ids == idx[..., None].astype(jnp.int32)
+                      ).astype(x.dtype)
+            pows = [jnp.ones_like(s)]
+            for _ in range(ncoef - 1):
+                pows.append(pows[-1] * s)
+            powers = jnp.stack(pows, axis=-1)                # (..., ncoef)
+            W = (onehot[..., :, None] * powers[..., None, :]
+                 ).reshape(x.shape + (n_cells * ncoef,))
+            B = jnp.matmul(W, A_jet,
+                           precision=jax.lax.Precision.HIGHEST)
+            B = B.reshape(x.shape + (NJ, n_b))
+            # linear extension outside the domain (ds == 0 inside)
+            ext = jnp.concatenate(
+                [B[..., 1:, :], jnp.zeros_like(B[..., :1, :])], axis=-2)
+            return B + ext * ds[..., None, None]
+
+        f = jax.custom_jvp(raw)
+
+        @f.defjvp
+        def f_jvp(primals, tangents):
+            (x,), (t_x,) = primals, tangents
+            # call f (NOT raw): nested jvps then re-apply this rule and the
+            # primal matmul is CSE'd, instead of differentiating the W
+            # construction + matmul a second time per nesting level
+            B = f(x)
+            shift = jnp.concatenate(
+                [B[..., 1:, :], jnp.zeros_like(B[..., :1, :])], axis=-2)
+            return B, shift * t_x[..., None, None]
+
+        return f
+
+    def basis_jet(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Exact interpolated basis at orders 0..3: (..., 4, n_bases)."""
+        return self._basis_jet_fn(x)
 
     def _local(self, coeffs: jnp.ndarray, x: jnp.ndarray):
         """Per-sample local poly coeffs (..., ncoef), clamped coordinate
