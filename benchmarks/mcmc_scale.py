@@ -89,7 +89,7 @@ def main():
         for batch in (256, 4096, 16384, 65536):
             cases.append(('metropolis', sweeps, batch))
     for sweeps in (1, 3):
-        for batch in (256, 4096, 16384):
+        for batch in (256, 4096, 16384, 65536):
             cases.append(('mala', sweeps, batch))
     for sampler, sweeps, batch in cases:
         if (sampler, sweeps, batch) in done:

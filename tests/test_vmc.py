@@ -592,6 +592,60 @@ def test_vmc_spring_data_parallel_matches_single_device():
     assert np.isfinite(np.asarray(f)).all()
 
 
+def test_sharded_spring_step_matches_single_device():
+    """The memory-lean sharded SPRING path (chunked-all_gather Gram +
+    psum'd projection — the (B,P) score matrix is never materialized)
+    computes the SAME update as the single-device step on the same global
+    batch, up to reduction-order float noise."""
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import PartitionSpec as P
+    from waveflow_tpu.parallel import WALKER_AXIS, make_walker_mesh
+    from waveflow_tpu.vmc.sr import make_spring_train_step
+    from waveflow_tpu.models import get_waveflow_model
+    from waveflow_tpu.physics import construct_hamiltonian_function, \
+        system_catalogue
+
+    protons, n_particle = system_catalogue[1]['He']
+    init = get_waveflow_model(n_particle, base_spline_degree=4,
+                              i_spline_degree=4, n_prior_internal_knots=6,
+                              n_i_internal_knots=6, i_spline_reg=0.1,
+                              n_flow_layers=1, box_size=5.0,
+                              xu_coord_type='mean',
+                              n_spline_base_mesh_points=300)
+    params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), n_particle)
+    h_fn = construct_hamiltonian_function(psi, protons=protons,
+                                          n_space_dimensions=1, eps=0.0)
+    batch = sample(jax.random.PRNGKey(1), params, 64)
+
+    single = make_spring_train_step(psi, h_fn, 0.05, damping=1e-2,
+                                    momentum=0.0)
+    p1, _, loss1 = single(params, single.init_state(params), batch, 0.0)
+
+    mesh = make_walker_mesh()
+    sharded = make_spring_train_step(psi, h_fn, 0.05, damping=1e-2,
+                                     momentum=0.0, pmean_axis=WALKER_AXIS)
+
+    def local(params, opt_state, batch, baseline):
+        return sharded(params, opt_state, batch, baseline)
+
+    mapped = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(WALKER_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False))
+    p2, _, loss2 = mapped(params, sharded.init_state(params), batch,
+                          jnp.zeros(()))
+
+    f1, _ = ravel_pytree(p1)
+    f2, _ = ravel_pytree(p2)
+    f0, _ = ravel_pytree(params)
+    d1, d2 = np.asarray(f1 - f0), np.asarray(f2 - f0)
+    denom = np.linalg.norm(d1)
+    assert denom > 0
+    assert np.linalg.norm(d1 - d2) / denom < 1e-3
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
 def test_vmc_2d_hydrogen_trains_toward_oracle():
     """n_space_dimension=2 end to end: the trainer switches to the
     'independent' coordinate map (no sorted-gap structure for a single

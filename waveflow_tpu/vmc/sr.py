@@ -165,12 +165,14 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
     windows accept it via train_step=...
 
     Under a walker-sharded mesh (``pmean_axis``): every device needs the
-    GLOBAL (B, B) Gram matrix, so the local (B_local, P) score blocks are
-    all-gathered along the axis and the solve is replicated — devices stay
-    in lockstep like the CG path.  Memory note: the gathered score matrix
-    is B_global × P floats PER DEVICE (e.g. 16384 × 26k params f32 ≈ 1.7 GB)
-    — see RESULTS.md "SPRING at scale" for the measured B×P crossover and
-    the regime where CG-SR or sub-batching is the right tool.
+    GLOBAL (B, B) Gram matrix and solves it replicated, but the
+    (B_global, P) score matrix is never materialized — the Gram is
+    assembled from column-chunked all_gathers (peak extra memory
+    B_global × 4096 floats) and the projection Ō^T x is a psum of local
+    contributions.  The (B, B) Gram itself is the irreducible memory
+    cost of sample-space SR: past B ≈ 8-16k the Gram (0.25-1 GB) and its
+    O(B³) Cholesky dominate and matrix-free CG-SR is the right tool —
+    see RESULTS.md "SPRING at scale".
     """
     from jax.flatten_util import ravel_pytree
 
@@ -193,28 +195,72 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
         O = jax.vmap(jax.grad(log_abs_psi_flat), in_axes=(None, 0))(
             flat0, batch)                                    # (B_local, P)
         eps_local = 2.0 * e_c
-        if pmean_axis is not None:
-            O = jax.lax.all_gather(O, pmean_axis, tiled=True)
-            eps = jax.lax.all_gather(eps_local, pmean_axis, tiled=True)
-        else:
-            eps = eps_local
-        B = O.shape[0]
-        if score_row_clip is not None:
-            # batch-adaptive score-row clip (transient, see docstring)
-            row_norm = jnp.linalg.norm(O, axis=1)
-            row_cap = score_row_clip * jnp.median(row_norm)
+        def _row_cap(row_norm_global, row_norm_local):
+            cap = score_row_clip * jnp.median(row_norm_global)
             if score_row_clip_warmup is not None:
                 active = opt_state['step'] < score_row_clip_warmup
-                row_cap = jnp.where(active, row_cap, jnp.inf)
-            O = O * jnp.minimum(1.0, row_cap / (row_norm + 1e-30))[:, None]
-        O = O - O.mean(0, keepdims=True)
-        e_mean = jnp.mean(jnp.clip(e_stat, center - clip_scale * mad,
-                                   center + clip_scale * mad))
-        eps = eps - eps.mean()
+                cap = jnp.where(active, cap, jnp.inf)
+            return jnp.minimum(1.0, cap / (row_norm_local + 1e-30))
 
+        e_mean_pre = jnp.mean(jnp.clip(e_stat, center - clip_scale * mad,
+                                       center + clip_scale * mad))
         prev = momentum * opt_state['delta']                 # (P,)
-        zeta = eps - O @ prev
-        gram0 = O @ O.T                                      # (B, B), MXU
+
+        if pmean_axis is None:
+            eps = eps_local
+            B = O.shape[0]
+            if score_row_clip is not None:
+                # batch-adaptive score-row clip (transient, see docstring)
+                rn = jnp.linalg.norm(O, axis=1)
+                O = O * _row_cap(rn, rn)[:, None]
+            O = O - O.mean(0, keepdims=True)
+            eps = eps - eps.mean()
+            zeta = eps - O @ prev
+            gram0 = jnp.dot(O, O.T,
+                            precision=jax.lax.Precision.HIGHEST)  # (B, B)
+            delta_of = lambda x: O.T @ x                     # (P,)
+        else:
+            # Memory-lean sharded path (r3 weak #5): the (B_global, P)
+            # score matrix is NEVER materialized.  The Gram matrix is
+            # assembled from column-chunked all_gathers (peak extra memory
+            # B_global x chunk instead of B_global x P — at 16k x 26k f32
+            # that is ~130 MB instead of 1.7 GB per device), and the
+            # update projection O^T x is a psum of local contributions.
+            # Only O(B_global) vectors and the (B, B) Gram itself (the
+            # irreducible cost of sample-space SR) cross the local shard.
+            eps = jax.lax.all_gather(eps_local, pmean_axis, tiled=True)
+            B = eps.shape[0]
+            B_l = O.shape[0]
+            if score_row_clip is not None:
+                rn_local = jnp.linalg.norm(O, axis=1)
+                rn = jax.lax.all_gather(rn_local, pmean_axis, tiled=True)
+                O = O * _row_cap(rn, rn_local)[:, None]
+            O = O - jax.lax.pmean(O.mean(0, keepdims=True), pmean_axis)
+            eps = eps - eps.mean()
+            zeta = eps - jax.lax.all_gather(O @ prev, pmean_axis,
+                                            tiled=True)
+            P = O.shape[1]
+            chunk = min(P, 4096)
+            pad = (-P) % chunk
+            O_pad = jnp.pad(O, ((0, 0), (0, pad)))
+
+            def gram_chunk(acc, i):
+                cols = jax.lax.dynamic_slice(
+                    O_pad, (0, i * chunk), (B_l, chunk))
+                g = jax.lax.all_gather(cols, pmean_axis, tiled=True)
+                return acc + jnp.dot(
+                    g, g.T, precision=jax.lax.Precision.HIGHEST), None
+
+            gram0, _ = jax.lax.scan(
+                gram_chunk, jnp.zeros((B, B)),
+                jnp.arange((P + pad) // chunk))
+
+            def delta_of(x):
+                shard = jax.lax.axis_index(pmean_axis)
+                x_local = jax.lax.dynamic_slice(x, (shard * B_l,), (B_l,))
+                return jax.lax.psum(O.T @ x_local, pmean_axis)
+
+        e_mean = e_mean_pre
         eye = jnp.eye(B)
 
         # f32 Cholesky fails on a well-conditioned-looking PSD system
@@ -231,7 +277,7 @@ def make_spring_train_step(psi, h_fn, learning_rate: float,
         x = jax.lax.cond(fell_back, lambda: solve_at(10.0), lambda: x)
         x = jax.lax.cond(jnp.isfinite(x).all(), lambda: x,
                          lambda: solve_at(100.0))
-        delta = O.T @ x + prev                               # (P,)
+        delta = delta_of(x) + prev                           # (P,)
         # the capped δ is both applied AND stored: the momentum recursion
         # must not carry an uncapped explosion into the next step
         finite = jnp.isfinite(delta).all()
