@@ -40,7 +40,9 @@ RUNS = [
     ('results/h2_1d_seed13', 'H2', dict()),
     ('results/li_1d', 'Li', dict()),
 ]
-EXACT = {'He': -1.8170, 'H2': -1.7136, 'Li': None}
+# grid-converged (h^2 Richardson) oracles — the raw fixed-grid ED values
+# (-1.8170 / -1.7136) over-bind by O(h^2); results/oracle_convergence.json
+EXACT = {'He': -1.81604, 'H2': -1.71311, 'Li': -3.37751}
 
 
 def main():

@@ -289,6 +289,27 @@ def test_exact_2d_2e_free_fermions_matches_analytic():
                                rtol=1e-6)
 
 
+def test_richardson_oracle_converges():
+    """Fixed-grid 1D ED over-binds by O(h²); the Richardson helper removes
+    the bias: for He-1d the extrapolated value from coarse grids must agree
+    with the one from fine grids far better than the raw energies do."""
+    import numpy as np
+    from waveflow_tpu.physics import richardson_ground_energy_1d
+    from waveflow_tpu.physics.exact import exact_ground_state_2p
+
+    protons = np.array([[0.0], [0.0]])
+    e_coarse = richardson_ground_energy_1d(protons, 2, 10.0,
+                                           n_grids=(100, 140))
+    e_fine = richardson_ground_energy_1d(protons, 2, 10.0,
+                                         n_grids=(200, 280))
+    raw_100 = exact_ground_state_2p(protons, 10.0, n_grid=100)[0]
+    # raw bias at n=100 is ~1.4e-3; extrapolations agree to ~1e-4
+    assert abs(e_coarse - e_fine) < 3e-4, (e_coarse, e_fine)
+    assert abs(raw_100 - e_fine) > 1e-3
+    # and the converged value is the round-4 recorded one
+    assert abs(e_fine - (-1.81604)) < 3e-4, e_fine
+
+
 def test_exact_2d_2e_x_sector_bound():
     """The x-coincidence-constrained ED (the variational floor of the
     'paired2d' ansatz family): (a) for FREE fermions the constraint costs

@@ -10,6 +10,7 @@ from waveflow_tpu.physics.fermion import (
 )
 from waveflow_tpu.physics.exact import (
     exact_free_fermion_energy, exact_ground_state_1d, exact_ground_state_1p,
+    richardson_ground_energy_1d,
     exact_ground_state_2d_1e, exact_ground_state_2d_2e,
     exact_ground_state_2p, exact_ground_state_3p,
 )
