@@ -123,8 +123,10 @@ def stage_he2d2e(out):
 
 def stage_sweeps(out):
     # sweeps=1 vs 3 under the frozen-params protocol on systems the r3
-    # study didn't cover (the flagship was already quality-equal)
-    for name, L, n_dim in (('Li', 10.0, 1), ('H2_wide', 12.0, 1),
+    # study didn't cover (the flagship was already quality-equal).
+    # Ordered cheap-first: the 1D gates land even if the slower 2D pair
+    # (frozen-params eval in 2D takes ~10 min per run) is cut by time.
+    for name, L, n_dim in (('H2_wide', 12.0, 1), ('Li', 10.0, 1),
                            ('He', 5.0, 2)):
         base = dict(system_name=name, n_space_dimension=n_dim, box_length=L,
                     batch_size=256, window=100, seed=2,

@@ -5,7 +5,9 @@ he1d_sr).  This study adds the modern variant — min-SR solved in sample
 space with SPRING momentum (vmc/sr.py::make_spring_train_step) — and
 compares all three optimizers at SHORT budgets (where natural gradient's
 per-step progress should pay) and on the larger 31-knot/4-layer ansatz
-(more ill-conditioned), against the He-1d exact energy −1.8170.
+(more ill-conditioned), against the He-1d exact energy (grid-converged
+−1.81604; the raw n_grid=120 value −1.8170 used in round 3 carries 1e-3
+of O(h²) over-binding, results/oracle_convergence.json).
 
 Writes results/sr_study.json.  Run on the chip.
 """
