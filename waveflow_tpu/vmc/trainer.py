@@ -80,10 +80,13 @@ class VMCConfig:
     # north-star VMC loop, BASELINE.json)
     sampler: str = 'ancestral'
     # Metropolis sweeps between parameter updates.  The sweeps×batch study
-    # (results/mcmc_scale.json, RESULTS.md) found sweeps=1 quality-equal to
-    # sweeps=10 on the flagship at 10k AND 100k epochs (frozen-params eval
-    # −1.81574±3e-5) at ~4× the throughput; 3 is the conservative default
-    # for systems not covered by the study.
+    # (results/mcmc_scale.json) found sweeps=1 quality-equal to sweeps=10
+    # on the FLAGSHIP at 10k and 100k epochs at ~4× the throughput — but
+    # the round-4 gates on other systems recorded a concrete failure mode
+    # for sweeps=1: H2_wide at 20k trains 4.4e-3 worse under sweeps=1 than
+    # sweeps=3 (frozen-params eval −1.49791±5e-4 vs −1.50231±8e-5,
+    # results/round4_quality.json), so 3 stays the default; drop to 1 only
+    # on systems where it has been gated (the He-1d flagship).
     mcmc_sweeps: int = 3
     mcmc_step_size: float = 0.5      # initial proposal scale (adapts)
     mcmc_target_accept: float = 0.5
