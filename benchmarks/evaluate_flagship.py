@@ -16,7 +16,10 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np
 
-OUT = REPO / 'results' / 'final_energies.json'
+# r4: fresh re-report file — poly backend + grid-converged oracles
+# (results/final_energies.json keeps the r3 provenance: table backend,
+# raw-grid oracle values)
+OUT = REPO / 'results' / 'final_energies_r4.json'
 
 # (save_dir, system, model hyperparams) — the trained runs to re-report.
 # he1d_score_seed* are the flagship 4-seed clipped-score runs;
@@ -39,6 +42,12 @@ RUNS = [
     ('results/h2_1d_seed7', 'H2', dict()),
     ('results/h2_1d_seed13', 'H2', dict()),
     ('results/li_1d', 'Li', dict()),
+    # round-4 additions (checkpoints preserved from the r4 quality runs)
+    ('results/r4_spring30k', 'He', dict()),
+    ('results/r4_spring100k', 'He', dict()),
+    ('results/r4_spring4k_2k', 'He', dict(batch_size=4096)),
+    ('results/r4_li_lr3e-4_decay', 'Li', dict()),
+    ('results/r4_li_big_lr3e-4', 'Li', dict(num_knots=31, n_flow_layers=4)),
 ]
 # grid-converged (h^2 Richardson) oracles — the raw fixed-grid ED values
 # (-1.8170 / -1.7136) over-bind by O(h^2); results/oracle_convergence.json
@@ -46,7 +55,8 @@ EXACT = {'He': -1.81604, 'H2': -1.71311, 'Li': -3.37751}
 
 
 def main():
-    from waveflow_tpu.physics import exact_ground_state_1d, system_catalogue
+    from waveflow_tpu.physics import (richardson_ground_energy_1d,
+                                      system_catalogue)
     from waveflow_tpu.vmc import VMCConfig, VMCTrainer, evaluate_trainer
 
     out = json.loads(OUT.read_text()) if OUT.exists() else {}
@@ -65,7 +75,9 @@ def main():
         ev = evaluate_trainer(t, n_blocks=64, sweeps_per_block=25,
                               n_warmup_sweeps=250, batch_size=4096)
         protons, n_el = system_catalogue[1][system]
-        exact = exact_ground_state_1d(np.asarray(protons), n_el, 10.0)
+        # grid-CONVERGED oracle (r4): raw fixed-grid ED over-binds by
+        # O(h^2) — results/oracle_convergence.json
+        exact = richardson_ground_energy_1d(np.asarray(protons), n_el, 10.0)
         rec = {
             'system': system,
             'e_mean': round(ev.e_mean, 5),
