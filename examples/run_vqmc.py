@@ -36,6 +36,11 @@ def main():
     p.add_argument('--seed', type=int, default=2)
     p.add_argument('--estimator', default='clipped_score',
                    choices=['clipped_score', 'reference'])
+    p.add_argument('--eval-backend', default='poly',
+                   choices=['poly', 'table'],
+                   help="hot-path spline backend: 'poly' (gather-free "
+                        "exact polynomials, the TPU default) or 'table' "
+                        "(reference-parity cached-table lerp)")
     p.add_argument('--sampler', default='ancestral',
                    choices=['ancestral', 'metropolis', 'mala'],
                    help='walker source: exact ancestral draws from |psi|^2, '
@@ -74,6 +79,7 @@ def main():
                     n_flow_layers=args.n_flow_layers,
                     log_every=args.log_every, save_dir=args.save_dir,
                     seed=args.seed, estimator=args.estimator,
+                    eval_backend=args.eval_backend,
                     sampler=args.sampler, optimizer=args.optimizer,
                     mcmc_sweeps=args.mcmc_sweeps,
                     spring_momentum=args.spring_momentum,
