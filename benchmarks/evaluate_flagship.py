@@ -45,7 +45,8 @@ RUNS = [
     # round-4 additions (checkpoints preserved from the r4 quality runs)
     ('results/r4_spring30k', 'He', dict()),
     ('results/r4_spring100k', 'He', dict()),
-    ('results/r4_spring4k_2k', 'He', dict(batch_size=4096)),
+    # trainer batch size is irrelevant to the frozen-params eval
+    ('results/r4_spring4k_2k', 'He', dict()),
     ('results/r4_li_lr3e-4_decay', 'Li', dict()),
     ('results/r4_li_big_lr3e-4', 'Li', dict(num_knots=31, n_flow_layers=4)),
 ]
