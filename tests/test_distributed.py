@@ -97,3 +97,40 @@ def test_four_process_mcmc_spring_resume(tmp_path):
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"proc {i} {k}")
         with open(tmp_path / f"ok_resume_{i}.json") as f:
             assert json.load(f)["skipped"] == 0
+
+
+def test_two_process_trainer_hosts(tmp_path):
+    """The production VMCTrainer's multi-host path (VERDICT r4 item 5):
+    2 processes x 2 devices, data_parallel='hosts' (2-D host×chip mesh,
+    walkers sharded over both axes), Metropolis sampler, driven through
+    train -> checkpoint -> resume BY THE TRAINER ITSELF.  Window B after
+    resume must match window B of the uninterrupted run byte-for-byte."""
+    import numpy as np
+
+    n_proc = 2
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    worker = str(REPO / "tests" / "_dist_worker_trainer.py")
+
+    for phase in ("full", "resume"):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), str(n_proc), str(port),
+                 str(tmp_path), phase],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)
+            for i in range(n_proc)
+        ]
+        outs = [p.communicate(timeout=540)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"{phase} proc {i} failed:\n{out}"
+
+    for i in range(n_proc):
+        a = np.load(tmp_path / f"tr_full_{i}.npz")
+        b = np.load(tmp_path / f"tr_resume_{i}.npz")
+        for k in ("losses", "flat_params", "step_size", "positions"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"proc {i} {k}")

@@ -11,3 +11,6 @@ from waveflow_tpu.parallel.sharding import (
 from waveflow_tpu.parallel.resample import (
     resample_walkers_sharded, systematic_indices,
 )
+from waveflow_tpu.parallel.probprog import (
+    chain_state_spec, make_sharded_chain_sampler, make_sharded_smc,
+)

@@ -27,7 +27,12 @@ system_catalogue = {
         # reference's BoxTransform reverse is n=2-only, made.py:188)
         'box2': (np.array([]), 2),
         'box3': (np.array([]), 3),
+        'box4': (np.array([]), 4),
         'Li': (np.array([[0.0], [0.0], [0.0]]), 3),
+        # 4-electron soft-Coulomb "Be" (four protons at the origin) — no
+        # grid-ED oracle exists at n=4 (C(n_grid,4) is intractable); judged
+        # by the variational principle + the box4 free-fermion gate
+        'Be': (np.array([[0.0], [0.0], [0.0], [0.0]]), 4),
     },
     2: {
         'H': (np.array([[0.0, 0.0]]), 1),

@@ -31,8 +31,16 @@ class HMCState(NamedTuple):
 
 
 def make_hmc_sampler(log_prob_fn: Callable, n_leapfrog: int = 16,
-                     target_accept: float = 0.8):
-    """log_prob_fn: (B, D) -> (B,) differentiable log density."""
+                     target_accept: float = 0.8,
+                     axis_name=None):
+    """log_prob_fn: (B, D) -> (B,) differentiable log density.
+
+    ``axis_name``: mesh axis (or tuple of axes) the chains are sharded
+    over — the dual-averaging acceptance statistic is pmean-reduced so
+    every device adapts ONE collective step size (BASELINE.json north
+    star: "multi-host chains"; the single-device reference has no sampler
+    at all).  Use parallel.make_sharded_chain_sampler to build the
+    shard_map wrapper."""
 
     grad_fn = jax.vmap(jax.grad(lambda x: log_prob_fn(x[None])[0]))
 
@@ -67,6 +75,8 @@ def make_hmc_sampler(log_prob_fn: Callable, n_leapfrog: int = 16,
         position = jnp.where(accept[:, None], q_new, state.position)
         log_prob = jnp.where(accept, lp_new, state.log_prob)
         accept_prob = jnp.exp(log_accept).mean()
+        if axis_name is not None:
+            accept_prob = jax.lax.pmean(accept_prob, axis_name)
 
         if warmup:
             # Nesterov dual averaging: log_eps_t = mu - sqrt(t)/gamma * h_bar

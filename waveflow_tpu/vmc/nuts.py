@@ -58,12 +58,17 @@ def _is_turning(dz, r_a, r_b):
 
 
 def make_nuts_sampler(log_prob_fn: Callable, max_tree_depth: int = 8,
-                      target_accept: float = 0.8):
+                      target_accept: float = 0.8,
+                      axis_name=None):
     """log_prob_fn: (B, D) -> (B,) differentiable log density.
 
     Returns (init_fn, step_fn, run_fn) with the same driver contract as
     make_hmc_sampler: init_fn(position, step_size) -> NUTSState;
     run_fn(state, rng, n_steps, n_warmup) -> (state, trace (n_steps,B,D)).
+
+    ``axis_name``: mesh axis (or tuple) the chains are sharded over — the
+    dual-averaging acceptance statistic is pmean-reduced so all devices
+    adapt one collective step size (see parallel.make_sharded_chain_sampler).
     """
     single_lp = lambda z: log_prob_fn(z[None])[0]
     grad1 = jax.grad(single_lp)
@@ -204,6 +209,8 @@ def make_nuts_sampler(log_prob_fn: Callable, max_tree_depth: int = 8,
                                         state.step_size)
         log_prob = log_prob_fn(position)
         accept_prob = alphas.mean()
+        if axis_name is not None:
+            accept_prob = jax.lax.pmean(accept_prob, axis_name)
 
         if warmup:
             # same Nesterov dual averaging as hmc.py
