@@ -27,7 +27,8 @@ import numpy as np
 OUT = REPO / 'results' / 'mcmc_scale.json'
 
 
-def build_window(sampler, batch, sweeps, window, eval_backend='poly'):
+def build_window(sampler, batch, sweeps, window, eval_backend='poly',
+                 laplacian_mode='fwd'):
     import optax
     jax.config.update("jax_default_matmul_precision", "highest")
     from waveflow_tpu.models import get_waveflow_model
@@ -44,7 +45,8 @@ def build_window(sampler, batch, sweeps, window, eval_backend='poly'):
                               xu_coord_type='mean', eval_backend=eval_backend)
     params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), n_particle)
     h_fn = construct_hamiltonian_function(psi, protons=protons,
-                                          n_space_dimensions=1, eps=0.0)
+                                          n_space_dimensions=1, eps=0.0,
+                                          laplacian_mode=laplacian_mode)
     opt = optax.flatten(optax.adam(1e-4))
     opt_state = opt.init(params)
     if sampler == 'metropolis':

@@ -37,10 +37,24 @@ def main():
     p.add_argument('--estimator', default='clipped_score',
                    choices=['clipped_score', 'reference'])
     p.add_argument('--eval-backend', default='poly',
-                   choices=['poly', 'table'],
+                   choices=['poly', 'poly_pallas', 'table'],
                    help="hot-path spline backend: 'poly' (gather-free "
-                        "exact polynomials, the TPU default) or 'table' "
+                        "exact polynomials, the TPU default), "
+                        "'poly_pallas' (W-construction fused into the "
+                        "basis-jet matmul in VMEM), or 'table' "
                         "(reference-parity cached-table lerp)")
+    p.add_argument('--ansatz', default='sorted',
+                   choices=['sorted', 'antisym'],
+                   help="'antisym' = explicit signed sum over electron "
+                        "permutations of an unconstrained square-flow "
+                        "(learned nodal surface — required to beat the "
+                        "2D x-sorted sector floor; needs --sampler "
+                        "metropolis or mala)")
+    p.add_argument('--mcmc-refresh-every', type=int, default=0,
+                   help='refresh persistent MCMC walkers with fresh exact '
+                        'ancestral draws every N epochs (unbiased; cures '
+                        'nodal-pocket trapping on multimodal systems like '
+                        'Li). 0 disables')
     p.add_argument('--sampler', default='ancestral',
                    choices=['ancestral', 'metropolis', 'mala'],
                    help='walker source: exact ancestral draws from |psi|^2, '
@@ -81,6 +95,10 @@ def main():
                     seed=args.seed, estimator=args.estimator,
                     eval_backend=args.eval_backend,
                     sampler=args.sampler, optimizer=args.optimizer,
+                    ansatz=args.ansatz,
+                    mcmc_refresh_every=(args.mcmc_refresh_every
+                                        if args.mcmc_refresh_every > 0
+                                        else None),
                     mcmc_sweeps=args.mcmc_sweeps,
                     spring_momentum=args.spring_momentum,
                     # <= 0 disables (a negative value would silently FLIP

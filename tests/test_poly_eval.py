@@ -189,3 +189,49 @@ def test_waveflow_poly_vs_table_backends():
     s = sample_p(jax.random.PRNGKey(2), params, 128)
     assert np.isfinite(np.asarray(logp_p(params, s))).all()
     assert float(jnp.max(jnp.abs(s))) <= 4.0 + 1e-5
+
+
+def test_sample_squared_amplitude_poly_exact_quantiles():
+    """The poly-density sampler (ops/poly_eval.py::
+    sample_squared_amplitude_poly) inverts the CDF of the EXACT polynomial
+    density: for each uniform u, the numerically integrated poly density
+    up to the returned sample must equal u."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from waveflow_tpu.ops import get_tables, make_poly_evaluator
+    from waveflow_tpu.ops.poly_eval import sample_squared_amplitude_poly
+
+    tabs = get_tables('B', 5, 12, n_mesh=400)
+    ev = make_poly_evaluator(tabs, use_ob=True)
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=tabs.n_bases).astype(np.float32)
+    c = jnp.asarray(w / np.linalg.norm(w))
+
+    us = jnp.asarray(np.linspace(0.02, 0.98, 33).astype(np.float32))
+    coeffs = jnp.tile(c[None], (len(us), 1))
+    xs = np.asarray(sample_squared_amplitude_poly(ev, coeffs, us))
+    assert ((xs >= 0) & (xs <= 1)).all()
+
+    # numeric CDF of the exact polynomial density on a fine grid
+    grid = jnp.asarray(np.linspace(0, 1, 20001).astype(np.float32))
+    dens = np.asarray((c * ev.basis_jet(grid)[..., 0, :]).sum(-1)) ** 2
+    cdf = np.concatenate([[0.0], np.cumsum((dens[1:] + dens[:-1]) / 2)])
+    cdf /= cdf[-1]
+    cdf_at_samples = np.interp(xs, np.asarray(grid), cdf)
+    np.testing.assert_allclose(cdf_at_samples, np.asarray(us), atol=5e-4)
+
+
+def test_trainer_poly_sampling_backend_smoke():
+    import numpy as np
+    from waveflow_tpu.vmc import VMCConfig, VMCTrainer
+    cfg = VMCConfig(system_name='He', box_length=10.0,
+                    sampling_backend='poly',
+                    batch_size=32, window=2, num_epochs=4, log_every=4,
+                    num_knots=8, n_flow_layers=1, spline_degree=4,
+                    n_spline_base_mesh_points=400,
+                    save_dir='/tmp/test_poly_sampling_smoke',
+                    compilation_cache_dir=None)
+    t = VMCTrainer(cfg)
+    losses = t.train(num_epochs=4, verbose=False)
+    assert np.isfinite(np.asarray(losses)).all()

@@ -63,11 +63,14 @@ def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
         # plain autodiff; ops/poly_eval.py) or 'table' (cached-table lerp
         # with the custom-JVP derivative chain, the reference's numerics).
         # The inverse and the boundary projector always use the tables.
-        fwd_ev = make_poly_evaluator(tabs) if eval_backend == 'poly' else ev
+        use_poly = eval_backend.startswith('poly')
+        jet = 'pallas' if eval_backend == 'poly_pallas' else 'xla'
+        fwd_ev = (make_poly_evaluator(tabs, jet_backend=jet)
+                  if use_poly else ev)
 
         def direct_fun(params, inputs, **kwargs):
             sp = spline_params(params, inputs)
-            if eval_backend == 'poly':
+            if use_poly:
                 # fused basis jet: ONE matmul yields the exact basis at
                 # orders 0..3; value/derivative are elementwise dots, and
                 # the Laplacian's nested JVPs + parameter cotangents all
@@ -86,7 +89,7 @@ def IMADE(conditioner_factory, spline_degree=4, n_internal_knots=12,
                 sp = spline_params(params, outputs)
                 col = batched_monotone_inverse(
                     ev, sp[:, i_col], inputs[:, i_col], n_bisect=n_bisect)
-                if eval_backend == 'poly':
+                if use_poly:
                     # the exact inverse above inverts the TABLE-interpolated
                     # spline; ONE Newton step against the polynomial forward
                     # closes the ~1e-6 table-vs-poly gap quadratically

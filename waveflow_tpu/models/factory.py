@@ -46,7 +46,8 @@ def get_waveflow_model(n_dimension, base_spline_degree=5, i_spline_degree=5,
                        n_prior_internal_knots=16, n_i_internal_knots=16,
                        i_spline_reg=0.0, i_spline_reverse_fun_tol=1e-6,
                        n_flow_layers=1, box_size=1.0, xu_coord_type='mean',
-                       n_spline_base_mesh_points=2000, eval_backend='poly'):
+                       n_spline_base_mesh_points=2000, eval_backend='poly',
+                       sampling_backend='table'):
     """Waveflow ψ ansatz: BoxTransform + n x (IMADE + Reverse) over a squared
     orthonormal-B-spline prior (model_factory.py:121-146).
 
@@ -90,4 +91,4 @@ def get_waveflow_model(n_dimension, base_spline_degree=5, i_spline_degree=5,
         constrained_dimension_indices_left=constrained_left,
         set_nn_output_grad_to_zero=False,
         n_spline_base_mesh_points=n_spline_base_mesh_points,
-        eval_backend=eval_backend)
+        eval_backend=eval_backend, sampling_backend=sampling_backend)

@@ -27,6 +27,7 @@ from waveflow_tpu.ops import (
     get_tables, make_boundary_projector, make_evaluator, make_poly_evaluator,
     sample_squared_amplitude,
 )
+from waveflow_tpu.ops.poly_eval import sample_squared_amplitude_poly
 
 LOG_TOL = 1e-7  # wavefunctions.py:34
 
@@ -35,7 +36,7 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
              constraints_dict_left={0: 0, 2: 0}, constraints_dict_right={0: 0},
              constrained_dimension_indices_left=(),
              set_nn_output_grad_to_zero=True, n_spline_base_mesh_points=2000,
-             eval_backend='poly'):
+             eval_backend='poly', sampling_backend='table'):
 
     constrained_left = jnp.asarray(constrained_dimension_indices_left,
                                    dtype=jnp.int32)
@@ -56,8 +57,10 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
         # the lerp tables on the OB basis, whose S^{-1/2} change matrix
         # amplifies table interpolation error; see ops/poly_eval.py).
         # Sampling and the inverse always use the table evaluator.
-        fwd_ob = (make_poly_evaluator(tabs, use_ob=True)
-                  if eval_backend == 'poly' else ev_ob)
+        use_poly = eval_backend.startswith('poly')
+        jet = 'pallas' if eval_backend == 'poly_pallas' else 'xla'
+        fwd_ob = (make_poly_evaluator(tabs, use_ob=True, jet_backend=jet)
+                  if use_poly else ev_ob)
         ob_to_b = jnp.asarray(tabs.ob_to_b)
         project = make_boundary_projector(
             ev_b, constraints_dict_left, constraints_dict_right,
@@ -84,7 +87,7 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
             u, log_det = direct_fun(transform_params, inputs)
             c = ob_coeffs(sp_params, u)
             u_c = jnp.clip(u, 0.0, 1.0)
-            if eval_backend == 'poly':
+            if use_poly:
                 # fused basis jet (see bijections/imade.py): one matmul,
                 # exact derivatives through the custom-JVP chain
                 amps = (c * fwd_ob.basis_jet(u_c)[..., 0, :]).sum(-1)
@@ -99,7 +102,7 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
             u, log_det = direct_fun(transform_params, inputs)
             c = ob_coeffs(sp_params, u)
             u_c = jnp.clip(u, 0.0, 1.0)
-            if eval_backend == 'poly':
+            if use_poly:
                 probs = (c * fwd_ob.basis_jet(u_c)[..., 0, :]).sum(-1) ** 2
             else:
                 probs = fwd_ob(c, u_c) ** 2
@@ -125,7 +128,15 @@ def Waveflow(transformation, sp_transformation, spline_degree, n_internal_knots,
                 c = ob_coeffs(sp_params, outputs)
                 rng, split_rng = random.split(rng)
                 u = random.uniform(split_rng, (num_samples,))
-                col = sample_squared_amplitude(ev_ob, c[:, i_col], u)
+                if sampling_backend == 'poly' and use_poly:
+                    # exact inverse-CDF under the POLYNOMIAL density — the
+                    # same density psi/log_pdf/E_L evaluate (closes the
+                    # ~3.3e-3 table-vs-poly ancestral-density mismatch,
+                    # ops/poly_eval.py::sample_squared_amplitude_poly)
+                    col = sample_squared_amplitude_poly(
+                        fwd_ob, c[:, i_col], u)
+                else:
+                    col = sample_squared_amplitude(ev_ob, c[:, i_col], u)
                 outputs = outputs.at[:, i_col].set(col)
             return partial_inverse_fun(transform_params, outputs)[0]
 

@@ -125,8 +125,12 @@ class PolySplineEvaluator:
 
     N_JET = 4   # basis_jet orders 0..3 (all the Laplacian chain consumes)
 
-    def __init__(self, A: np.ndarray):
-        # A: (n_bases, n_cells, ncoef) float64 from build_local_polynomials
+    def __init__(self, A: np.ndarray, jet_backend: str = 'xla'):
+        # A: (n_bases, n_cells, ncoef) float64 from build_local_polynomials.
+        # jet_backend 'pallas' fuses the one-hot W construction into the
+        # basis-jet matmul in VMEM (ops/pallas_jet.py) — W never touches
+        # HBM; 'xla' is the portable default
+        self.jet_backend = jet_backend
         self.n_bases, self.n_cells, self.ncoef = A.shape
         # matmul layout: (n_bases, n_cells*ncoef) f32
         self.A = jnp.asarray(A.reshape(self.n_bases, -1), dtype=jnp.float32)
@@ -168,26 +172,43 @@ class PolySplineEvaluator:
         NJ = self.N_JET
         A_jet = self.A_jet
 
+        if self.jet_backend == 'pallas':
+            from waveflow_tpu.ops.pallas_jet import make_pallas_basis_jet
+            core = make_pallas_basis_jet(np.asarray(self.A_jet), n_cells,
+                                         ncoef, NJ, n_b)
+        elif self.jet_backend == 'xla':
+            def core(x):
+                """Clamped in-domain jet: W = onehot(cell) ⊗ s-powers, one
+                (rows, n_cells·ncoef) @ (n_cells·ncoef, 4·n_bases) matmul.
+                XLA materializes W in HBM (it is a matmul operand) — the
+                'pallas' backend fuses its construction into the matmul."""
+                pos = x * n_cells
+                idx = jax.lax.stop_gradient(
+                    jnp.clip(jnp.floor(pos), 0, n_cells - 1))
+                s = jnp.clip(pos - idx, 0.0, 1.0)
+                cell_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, x.shape + (n_cells,), x.ndim)
+                onehot = (cell_ids == idx[..., None].astype(jnp.int32)
+                          ).astype(x.dtype)
+                pows = [jnp.ones_like(s)]
+                for _ in range(ncoef - 1):
+                    pows.append(pows[-1] * s)
+                powers = jnp.stack(pows, axis=-1)            # (..., ncoef)
+                W = (onehot[..., :, None] * powers[..., None, :]
+                     ).reshape(x.shape + (n_cells * ncoef,))
+                B = jnp.matmul(W, A_jet,
+                               precision=jax.lax.Precision.HIGHEST)
+                return B.reshape(x.shape + (NJ, n_b))
+        else:
+            raise ValueError(f"unknown jet_backend {self.jet_backend!r}")
+
         def raw(x):
+            B = core(x)
             pos = x * n_cells
             idx = jax.lax.stop_gradient(
                 jnp.clip(jnp.floor(pos), 0, n_cells - 1))
             s_full = pos - idx
-            s = jnp.clip(s_full, 0.0, 1.0)
-            ds = (s_full - s) / n_cells          # x-units overhang
-            cell_ids = jax.lax.broadcasted_iota(
-                jnp.int32, x.shape + (n_cells,), x.ndim)
-            onehot = (cell_ids == idx[..., None].astype(jnp.int32)
-                      ).astype(x.dtype)
-            pows = [jnp.ones_like(s)]
-            for _ in range(ncoef - 1):
-                pows.append(pows[-1] * s)
-            powers = jnp.stack(pows, axis=-1)                # (..., ncoef)
-            W = (onehot[..., :, None] * powers[..., None, :]
-                 ).reshape(x.shape + (n_cells * ncoef,))
-            B = jnp.matmul(W, A_jet,
-                           precision=jax.lax.Precision.HIGHEST)
-            B = B.reshape(x.shape + (NJ, n_b))
+            ds = (s_full - jnp.clip(s_full, 0.0, 1.0)) / n_cells  # overhang
             # linear extension outside the domain (ds == 0 inside)
             ext = jnp.concatenate(
                 [B[..., 1:, :], jnp.zeros_like(B[..., :1, :])], axis=-2)
@@ -283,19 +304,100 @@ class PolySplineEvaluator:
         return self(coeffs, x, d), self(coeffs, x, d + 1)
 
 
+def sample_squared_amplitude_poly(ev: PolySplineEvaluator,
+                                  coeffs: jnp.ndarray,
+                                  u: jnp.ndarray,
+                                  n_bisect: int = 12,
+                                  n_newton: int = 3) -> jnp.ndarray:
+    """EXACT inverse-CDF sample of p(x) ∝ (w·T(x))² under the *polynomial*
+    density — the same density the poly backend's ψ/log_pdf/E_L evaluate.
+
+    The table sampler (ops/sampling.py::sample_squared_amplitude) draws
+    from the piecewise-LINEAR table interpolant, whose OB amplitudes carry
+    ~3.3e-3 relative error vs the exact basis — so under
+    eval_backend='poly' ancestral training samples a slightly different
+    density than the one it differentiates (the round-4 advisor note;
+    DESIGN.md records the accepted mismatch).  This sampler closes it:
+
+      1. local polynomials per cell: l = c @ A  (one MXU matmul,
+         (B, n_cells, ncoef));
+      2. exact cell masses  m_cell = h ∫₀¹ p(s)² ds = h · lᵀ H l with
+         H[k1,k2] = 1/(k1+k2+1) (the Hilbert-type moment matrix) — no
+         mesh, no quadrature error;
+      3. cell locate by prefix-sum CDF; in-cell inversion of the exact
+         antiderivative F(s) = h Σ_m (l*l)_m s^{m+1}/(m+1) (monotone,
+         F' = h·p² ≥ 0) by bracketing bisection + Newton polish.
+
+    Agrees with the table sampler to O(table error) and with the poly
+    density exactly (up to f32 and the n_bisect+n_newton inversion,
+    which exceeds f32 resolution away from nodes).
+    """
+    from waveflow_tpu.ops.sampling import _locate_in_masses
+
+    K = ev.ncoef
+    M = ev.n_cells
+    h = 1.0 / M
+    # (B, M, K) local polynomials at HIGHEST precision (sets the density)
+    P = jnp.matmul(coeffs, ev.A, precision=jax.lax.Precision.HIGHEST)
+    P = P.reshape(P.shape[:-1] + (M, K))
+    # Hilbert-type moment matrix for ∫₀¹ s^{k1+k2} ds
+    H = jnp.asarray(1.0 / (np.arange(K)[:, None] + np.arange(K)[None, :]
+                           + 1.0), dtype=P.dtype)
+    masses = h * jnp.einsum('...mk,kl,...ml->...m', P, H, P,
+                            precision=jax.lax.Precision.HIGHEST)
+    masses = jnp.maximum(masses, 0.0)
+    j, q = _locate_in_masses(masses, u)
+    l = jnp.take_along_axis(P, j[..., None, None],
+                            axis=-2)[..., 0, :]          # (B, K)
+    # squared-polynomial coefficients (l*l)_m = Σ_{k1+k2=m} l_k1 l_k2
+    sq = [jnp.zeros_like(l[..., 0])] * (2 * K - 1)
+    for k1 in range(K):
+        for k2 in range(K):
+            m = k1 + k2
+            sq[m] = sq[m] + l[..., k1] * l[..., k2]
+
+    def F(s):
+        """h ∫₀^s p(t)² dt — Horner on the antiderivative."""
+        v = sq[2 * K - 2] / (2 * K - 1)
+        for m in range(2 * K - 3, -1, -1):
+            v = v * s + sq[m] / (m + 1)
+        return h * v * s
+
+    def dF(s):
+        v = sq[2 * K - 2]
+        for m in range(2 * K - 3, -1, -1):
+            v = v * s + sq[m]
+        return h * v
+
+    lo = jnp.zeros_like(q)
+    hi = jnp.ones_like(q)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        gt = F(mid) > q
+        lo = jnp.where(gt, lo, mid)
+        hi = jnp.where(gt, mid, hi)
+    s = 0.5 * (lo + hi)
+    for _ in range(n_newton):
+        s = jnp.clip(s - (F(s) - q) / jnp.maximum(dF(s), 1e-14), lo, hi)
+    return (j + s) * h
+
+
 _POLY_CACHE: dict = {}
 
 
 def make_poly_evaluator(tables: SplineTables,
-                        use_ob: bool = False) -> PolySplineEvaluator:
+                        use_ob: bool = False,
+                        jet_backend: str = 'xla') -> PolySplineEvaluator:
     """Polynomial evaluator consistent with a SplineTables set.
 
     ``use_ob`` builds the orthonormalized B basis OB = b_to_ob @ B using the
     SAME basis-change matrix as the table set, so coefficients produced via
     tables.ob_to_b evaluate identically (to f32) against either backend.
+    ``jet_backend``: 'xla' or 'pallas' (fused W+matmul kernel,
+    ops/pallas_jet.py).
     """
     key = (tables.kind, tables.degree, tables.n_internal_knots,
-           tables.n_mesh if use_ob else None, use_ob)
+           tables.n_mesh if use_ob else None, use_ob, jet_backend)
     if key in _POLY_CACHE:
         return _POLY_CACHE[key]
     if use_ob:
@@ -319,6 +421,6 @@ def make_poly_evaluator(tables: SplineTables,
         raise AssertionError(
             f"polynomial basis count {A.shape[0]} != table basis count "
             f"{tables.n_bases} for {tables.kind}")
-    ev = PolySplineEvaluator(A)
+    ev = PolySplineEvaluator(A, jet_backend=jet_backend)
     _POLY_CACHE[key] = ev
     return ev

@@ -58,6 +58,38 @@ def laplacian_and_value(fn):
     return jax.vmap(single, in_axes=(None, 0))
 
 
+def laplacian_and_value_batched(fn):
+    """Batch-level forward-over-forward Laplacian: identical math to
+    ``laplacian_and_value`` but the nested jvps run on the FULL batch with
+    broadcast coordinate directions (a static Python loop over the n
+    coordinates) instead of a per-sample vmap.
+
+    Why it exists: under the per-sample vmap, every primitive inside ψ —
+    including a Pallas basis-jet kernel (ops/pallas_jet.py) — is traced at
+    batch 1 and then lifted by vmap's batching rules; pallas_call's rule
+    turns the walker axis into extra sequential grid steps of tiny blocks,
+    destroying the kernel's tiling.  At batch level the kernel sees the
+    whole (B, n) array directly.  For XLA-only backends the two forms
+    compile to the same fused HLO (the vmap is resolved at trace time);
+    the eval-site count is identical.  The repeated primal `fn(x)` across
+    the n direction loops is CSE'd by XLA (pure function of (params, x)).
+    """
+
+    def lap(params, x):
+        f = lambda xx: fn(params, xx)
+        n = x.shape[-1]
+        total = jnp.zeros(x.shape[:-1], dtype=x.dtype)
+        val = None
+        for i in range(n):
+            e = jnp.zeros_like(x).at[..., i].set(1.0)
+            df = lambda xx: jax.jvp(f, (xx,), (e,))
+            (val, _), (_, dd) = jax.jvp(df, (x,), (e,))
+            total = total + dd
+        return total, val
+
+    return lap
+
+
 def laplacian_hvp(fn):
     """Hessian-diagonal via forward-over-reverse HVPs (one backward pass
     computes all n coordinate gradients; better for large n)."""
@@ -144,8 +176,10 @@ def construct_hamiltonian_function(fn, protons=((0.0, 0.0),),
                                    laplacian_mode='fwd', interactions=True):
     """Build h(params, x) = -½∇²ψ + Vψ : (batch, n) -> (batch, 1)
     (physics.py:79-93).  laplacian_mode: 'fwd' (forward-over-forward,
-    default — fewest kernels for few-electron systems), 'hvp'
-    (forward-over-reverse, O(1) backward passes for large n), or 'dense'
+    default — fewest kernels for few-electron systems), 'fwd_batched'
+    (same math at batch level — REQUIRED for the Pallas basis-jet
+    backend, see laplacian_and_value_batched), 'hvp' (forward-over-
+    reverse, O(1) backward passes for large n), or 'dense'
     (reference-style full-Hessian trace, physics.py:50-52).
     ``interactions=False`` drops electron-electron repulsion (free-fermion
     oracle systems, see get_potential)."""
@@ -158,7 +192,10 @@ def construct_hamiltonian_function(fn, protons=((0.0, 0.0),),
     elif laplacian_mode == 'hvp':
         lap_fn = laplacian_hvp(fn)
     else:
-        lap_and_val = laplacian_and_value(fn)
+        if laplacian_mode == 'fwd_batched':
+            lap_and_val = laplacian_and_value_batched(fn)
+        else:
+            lap_and_val = laplacian_and_value(fn)
 
         def h_fused(params, x):
             lap, psi_val = lap_and_val(params, x)

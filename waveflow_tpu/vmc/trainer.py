@@ -49,9 +49,23 @@ class VMCConfig:
     n_spline_base_mesh_points: int = 2000
     # spline forward backend on the hot ψ/Laplacian path: 'poly' (gather-free
     # exact local-polynomial evaluation, ops/poly_eval.py — the adopted
-    # TPU path) or 'table' (cached-table lerp + custom-JVP derivative
+    # TPU path), 'poly_pallas' (same math with the one-hot W construction
+    # fused into the basis-jet matmul in VMEM, ops/pallas_jet.py — W never
+    # touches HBM), or 'table' (cached-table lerp + custom-JVP derivative
     # chain, the reference's numerics)
     eval_backend: str = 'poly'
+    # ancestral sampling density: 'table' (exact inverse-CDF of the
+    # piecewise-linear table interpolant — the measured production path,
+    # Pallas-accelerated) or 'poly' (exact inverse-CDF of the POLYNOMIAL
+    # density the poly backend's ψ/log_pdf/E_L evaluate — closes the
+    # ~3.3e-3 train-time density mismatch recorded in DESIGN.md; only
+    # meaningful with a poly eval_backend)
+    sampling_backend: str = 'table'
+    # per-walker Laplacian formulation (physics/hamiltonian.py): 'fwd'
+    # (per-sample vmap of nested forward jvps) or 'fwd_batched' (identical
+    # math at batch level — auto-selected for 'poly_pallas', whose kernel
+    # must see batch-shaped arrays rather than vmap-lifted batch-1 traces)
+    laplacian_mode: str = 'fwd'
     seed: int = 2
     save_dir: str | None = None
     save_artifacts: bool = False      # psi grids / density slices / clouds
@@ -242,7 +256,8 @@ class VMCTrainer:
             i_spline_reverse_fun_tol=c.i_spline_reverse_fun_tol,
             n_flow_layers=c.n_flow_layers, box_size=c.box_length,
             n_spline_base_mesh_points=c.n_spline_base_mesh_points,
-            eval_backend=c.eval_backend)
+            eval_backend=c.eval_backend,
+            sampling_backend=c.sampling_backend)
         if use_antisym:
             from waveflow_tpu.models.antisym import get_antisym_waveflow_model
             init_fun = get_antisym_waveflow_model(
@@ -258,9 +273,13 @@ class VMCTrainer:
         self.psi = psi
         self.log_pdf = log_pdf
         self._sample = sample
+        lap_mode = c.laplacian_mode
+        if c.eval_backend == 'poly_pallas' and lap_mode == 'fwd':
+            lap_mode = 'fwd_batched'
         self.h_fn = construct_hamiltonian_function(
             psi, protons=self.protons,
             n_space_dimensions=c.n_space_dimension, eps=0.0,
+            laplacian_mode=lap_mode,
             interactions=c.interactions)
 
         self.sample_jit = jax.jit(sample, static_argnums=(2,))
