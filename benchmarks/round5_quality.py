@@ -171,10 +171,11 @@ def stage_antisym(out):
 def stage_li_refresh(out):
     li = dict(system_name='Li', box_length=10.0, batch_size=256, window=100,
               seed=2, sampler='metropolis', learning_rate=3e-4)
-    for sweeps in (3, 1):
-        key = f'li_metro_refresh1k_s{sweeps}'
+    for sweeps, every, tag in ((3, 1000, '1k'), (1, 1000, '1k'),
+                               (3, 100, '100'), (1, 100, '100')):
+        key = f'li_metro_refresh{tag}_s{sweeps}'
         row, _ = run_vmc(key, out, 20_000, mcmc_sweeps=sweeps,
-                         mcmc_refresh_every=1000, **li)
+                         mcmc_refresh_every=every, **li)
         row['ancestral_ref'] = -3.3759     # r4 ancestral-trained Li eval
         row['r4_norefresh'] = {3: -3.24, 1: -3.34}[sweeps]
         out[key] = row
@@ -191,6 +192,14 @@ def stage_box4(out):
     row['exact_analytic'] = round(exact, 6)
     row['deviation_eval'] = round(row['eval_clipped'] - exact, 6)
     out['box4_free'] = row
+    _save(out)
+    # capacity row: the r4 big-ansatz recipe applied at n=4
+    row_b, _ = run_vmc('box4_free_big', out, 40_000, system_name='box4',
+                       interactions=False, num_knots=31, n_flow_layers=4,
+                       **box)
+    row_b['exact_analytic'] = round(exact, 6)
+    row_b['deviation_eval'] = round(row_b['eval_clipped'] - exact, 6)
+    out['box4_free_big'] = row_b
     _save(out)
     # interacting n=4: variational only (no ED oracle at n=4 — C(n,4)
     # blows up); judged by being finite, stable, and above no bound

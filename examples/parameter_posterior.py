@@ -9,7 +9,12 @@ predictive (Bayesian model average over posterior draws) vs the MLE fit.
 
 Usage:
   python examples/parameter_posterior.py [--sampler nuts|hmc|smc]
-      [--n-train 300] [--n-steps 200] [--n-warmup 150]
+      [--n-train 300] [--n-steps 200] [--n-warmup 150] [--sharded]
+
+--sharded distributes the chains (or SMC particles) over ALL visible
+devices via parallel/probprog.py: dual-averaging step-size adaptation is
+collective (pmean'd acceptance) and SMC resampling is the cross-device
+collective — the BASELINE.json "multi-host chains" shape.
 """
 
 import argparse
@@ -32,6 +37,9 @@ def main():
     p.add_argument('--n-warmup', type=int, default=150)
     p.add_argument('--prior-scale', type=float, default=2.0)
     p.add_argument('--step-size', type=float, default=2e-3)
+    p.add_argument('--sharded', action='store_true',
+                   help='shard chains/particles over all visible devices '
+                        '(parallel/probprog.py)')
     args = p.parse_args()
 
     import jax
@@ -65,23 +73,43 @@ def main():
         from waveflow_tpu.vmc.smc import make_smc_sampler
         log_prior = lambda th: -0.5 * (th ** 2).sum(-1) / args.prior_scale ** 2
         log_like = lambda th: log_prob(th) - log_prior(th)
-        init_fn, run_fn = make_smc_sampler(log_prior, log_like, n_temps=30,
-                                           n_mcmc_moves=5,
-                                           mcmc_step_size=args.step_size)
         particles = flat0[None] + 0.1 * jax.random.normal(
             rng, (128, D))
-        state = init_fn(particles)
-        state, _ = jax.jit(run_fn)(state, jax.random.PRNGKey(2))
+        if args.sharded:
+            from waveflow_tpu.parallel import (make_sharded_smc,
+                                               make_walker_mesh)
+            init_fn, run_fn = make_sharded_smc(
+                log_prior, log_like, make_walker_mesh(), n_temps=30,
+                n_mcmc_moves=5, mcmc_step_size=args.step_size)
+            state = init_fn(particles)
+            state, _ = run_fn(state, jax.random.PRNGKey(2))
+        else:
+            init_fn, run_fn = make_smc_sampler(
+                log_prior, log_like, n_temps=30, n_mcmc_moves=5,
+                mcmc_step_size=args.step_size)
+            state = init_fn(particles)
+            state, _ = jax.jit(run_fn)(state, jax.random.PRNGKey(2))
         draws = np.asarray(state.particles)
     else:
+        maker = None
         if args.sampler == 'nuts':
             from waveflow_tpu.vmc.nuts import make_nuts_sampler
-            init_fn, _, run_fn = make_nuts_sampler(log_prob, max_tree_depth=6)
+            maker, kw = make_nuts_sampler, dict(max_tree_depth=6)
         else:
-            init_fn, _, run_fn = make_hmc_sampler(log_prob, n_leapfrog=16)
-        state = init_fn(chains, step_size=args.step_size)
-        state, trace = run_fn(state, jax.random.PRNGKey(2), args.n_steps,
-                              n_warmup=args.n_warmup)
+            maker, kw = make_hmc_sampler, dict(n_leapfrog=16)
+        if args.sharded:
+            from waveflow_tpu.parallel import (make_sharded_chain_sampler,
+                                               make_walker_mesh)
+            sh_init, make_run = make_sharded_chain_sampler(
+                maker, log_prob, make_walker_mesh(), **kw)
+            state = sh_init(chains, step_size=args.step_size)
+            state, trace = make_run(args.n_steps, args.n_warmup)(
+                state, jax.random.PRNGKey(2))
+        else:
+            init_fn, _, run_fn = maker(log_prob, **kw)
+            state = init_fn(chains, step_size=args.step_size)
+            state, trace = run_fn(state, jax.random.PRNGKey(2),
+                                  args.n_steps, n_warmup=args.n_warmup)
         keep = np.asarray(trace[args.n_steps // 2:])
         draws = keep.reshape(-1, D)[::max(1, keep.size // D // 64)][:64]
     print(f"{args.sampler} sampling: {time.time()-t0:.1f}s, "
