@@ -22,8 +22,10 @@ import numpy as np
 import optax
 
 
-def build(batch_size=256, laplacian_mode='fwd', estimator='clipped_score',
-          window=100, eval_backend='poly'):
+def build(batch_size=256, laplacian_mode='fwd_batched',
+          estimator='clipped_score', window=100, eval_backend='poly'):
+    # fwd_batched: the batch-level Laplacian formulation — measured faster
+    # at every window x batch cell (results/roofline_r5.json)
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
     from waveflow_tpu.models import get_waveflow_model

@@ -28,7 +28,7 @@ OUT = REPO / 'results' / 'mcmc_scale.json'
 
 
 def build_window(sampler, batch, sweeps, window, eval_backend='poly',
-                 laplacian_mode='fwd'):
+                 laplacian_mode='fwd_batched'):
     import optax
     jax.config.update("jax_default_matmul_precision", "highest")
     from waveflow_tpu.models import get_waveflow_model

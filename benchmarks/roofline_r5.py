@@ -186,10 +186,11 @@ def main():
     for kind, fn in (('ancestral', ancestral_case),
                      ('metropolis_s1', metropolis_case)):
         for backend, lap in CONFIGS:
-            if kind == 'metropolis_s1' and (backend, lap) == (
-                    'poly', 'fwd_batched'):
-                continue   # formulation isolation only needs one window
             for batch in BATCHES:
+                if (kind == 'metropolis_s1'
+                        and (backend, lap) == ('poly', 'fwd_batched')
+                        and batch in (256, 16384)):
+                    continue   # 4k/65k suffice to confirm the direction
                 if (kind, backend, lap, batch) in done:
                     continue
                 window = 100 if batch <= 4096 else 20

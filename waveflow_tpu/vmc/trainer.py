@@ -61,11 +61,13 @@ class VMCConfig:
     # ~3.3e-3 train-time density mismatch recorded in DESIGN.md; only
     # meaningful with a poly eval_backend)
     sampling_backend: str = 'table'
-    # per-walker Laplacian formulation (physics/hamiltonian.py): 'fwd'
-    # (per-sample vmap of nested forward jvps) or 'fwd_batched' (identical
-    # math at batch level — auto-selected for 'poly_pallas', whose kernel
-    # must see batch-shaped arrays rather than vmap-lifted batch-1 traces)
-    laplacian_mode: str = 'fwd'
+    # per-walker Laplacian formulation (physics/hamiltonian.py):
+    # 'fwd_batched' (default — identical math to 'fwd' run at batch level;
+    # the r5 roofline measured it faster at EVERY window×batch cell:
+    # ancestral +2.6..10%, Metropolis +6.8..17.6%, new peaks 2.05M/4.18M
+    # walkers/s, results/roofline_r5.json) or 'fwd' (per-sample vmap of
+    # nested forward jvps, the r1-r4 formulation)
+    laplacian_mode: str = 'fwd_batched'
     seed: int = 2
     save_dir: str | None = None
     save_artifacts: bool = False      # psi grids / density slices / clouds
