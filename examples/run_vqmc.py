@@ -50,11 +50,12 @@ def main():
                         "(learned nodal surface — required to beat the "
                         "2D x-sorted sector floor; needs --sampler "
                         "metropolis or mala)")
-    p.add_argument('--mcmc-refresh-every', type=int, default=0,
+    p.add_argument('--mcmc-refresh-every', type=int, default=-1,
                    help='refresh persistent MCMC walkers with fresh exact '
                         'ancestral draws every N epochs (unbiased; cures '
                         'nodal-pocket trapping on multimodal systems like '
-                        'Li). 0 disables')
+                        'Li). -1 = auto (one refresh per window for >= 3 '
+                        'electrons), 0 disables')
     p.add_argument('--sampler', default='ancestral',
                    choices=['ancestral', 'metropolis', 'mala'],
                    help='walker source: exact ancestral draws from |psi|^2, '
@@ -96,9 +97,8 @@ def main():
                     eval_backend=args.eval_backend,
                     sampler=args.sampler, optimizer=args.optimizer,
                     ansatz=args.ansatz,
-                    mcmc_refresh_every=(args.mcmc_refresh_every
-                                        if args.mcmc_refresh_every > 0
-                                        else None),
+                    mcmc_refresh_every=('auto' if args.mcmc_refresh_every < 0
+                                        else (args.mcmc_refresh_every or None)),
                     mcmc_sweeps=args.mcmc_sweeps,
                     spring_momentum=args.spring_momentum,
                     # <= 0 disables (a negative value would silently FLIP

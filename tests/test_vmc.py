@@ -671,3 +671,23 @@ def test_vmc_2d_hydrogen_trains_toward_oracle():
 # (the former test_vmc_2d_two_electron_raises is obsolete: 2D
 # multi-electron systems now train on the paired2d sector — see
 # test_vmc_2d_two_electron_paired2d_trains)
+
+
+def test_mcmc_refresh_auto_for_three_fermions():
+    """mcmc_refresh_every='auto' resolves to one refresh per window for
+    >= 3-electron Metropolis training (the Li gate) and runs finitely;
+    the 2-electron flagship stays refresh-free (bitwise r4 behavior)."""
+    import numpy as np
+    from waveflow_tpu.vmc import VMCConfig, VMCTrainer
+    cfg = VMCConfig(system_name='box3', box_length=5.0, interactions=False,
+                    sampler='metropolis', batch_size=32, window=4,
+                    num_epochs=12, log_every=12, num_knots=8,
+                    n_flow_layers=1, spline_degree=4,
+                    n_spline_base_mesh_points=400,
+                    save_dir='/tmp/test_refresh_auto',
+                    compilation_cache_dir=None)
+    assert cfg.mcmc_refresh_every == 'auto'
+    t = VMCTrainer(cfg)
+    losses = t.train(num_epochs=12, verbose=False)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert len(losses) == 12

@@ -115,9 +115,12 @@ class VMCConfig:
     # walker population with fresh exact ancestral draws from |ψ|² is
     # unbiased (they ARE the target distribution), so a periodic refresh
     # restores global coverage at zero bias; the adapted step size is kept.
-    # None disables (flagship-gated default); requires ansatz='sorted'
-    # (the antisym ansatz has no exact sampler to refresh from).
-    mcmc_refresh_every: int | None = None
+    # 'auto' (default): one refresh per window for systems with >= 3
+    # electrons (the measured failure class — the He flagship is
+    # refresh-neutral and keeps its bit-reproducible no-refresh windows),
+    # disabled otherwise and for ansatz='antisym' (no exact sampler to
+    # refresh from).  An int sets the cadence in epochs; None disables.
+    mcmc_refresh_every: int | None | str = 'auto'
     # parameter update: 'adam' (optax, the reference's family), 'sr'
     # (stochastic reconfiguration / natural gradient via matrix-free CG,
     # vmc/sr.py — the north-star's named second optimizer), or 'spring'
@@ -701,13 +704,22 @@ class VMCTrainer:
             if use_mcmc and self.mcmc_state is None:
                 self.mcmc_state = self._init_mcmc_state()
             refresh_stride = None
-            if use_mcmc and c.mcmc_refresh_every:
+            refresh_every = c.mcmc_refresh_every
+            if refresh_every == 'auto':
+                # Li gate (round5_quality.json li_metro_refresh rows):
+                # refresh-per-window brings Metropolis-trained Li from
+                # −3.24 to −3.3745 vs ancestral −3.3759; ≥3-electron
+                # systems get it by default, the flagship stays bitwise
+                refresh_every = (c.window if use_mcmc
+                                 and self.ansatz == 'sorted'
+                                 and int(self.n_particle) >= 3 else None)
+            if use_mcmc and refresh_every:
                 if self.ansatz == 'antisym':
                     raise ValueError(
                         "mcmc_refresh_every requires an exact ancestral "
                         "sampler (ansatz='sorted'); the antisym ansatz has "
                         "none")
-                refresh_stride = max(1, round(c.mcmc_refresh_every / c.window))
+                refresh_stride = max(1, round(refresh_every / c.window))
             multihost = jax.process_count() > 1
             if self.mesh is not None:
                 n_dev = self.mesh.devices.size
