@@ -208,6 +208,28 @@ def stage_box4(out):
             learning_rate=3e-4)
 
 
+def stage_antisym2d_free(out):
+    """2D free-fermion antisym gates: the analytic level-filling oracle
+    (exact_free_fermion_energy_2d) judges the antisym ansatz beyond n=2
+    in 2D, where pair-basis grid ED is intractable — box3-2d is the
+    first 3-electron 2D configuration (6-term antisymmetrization over a
+    6-dimensional flow)."""
+    from waveflow_tpu.physics.exact import exact_free_fermion_energy_2d
+    base = dict(n_space_dimension=2, box_length=5.0, batch_size=256,
+                window=100, seed=2, ansatz='antisym', sampler='metropolis',
+                interactions=False, learning_rate=3e-4, eval_batch=4096)
+    for name, n_el in (('box2', 2), ('box3', 3)):
+        key = f'{name}_2d_antisym'
+        row, _ = run_vmc(key, out, 40_000, decay=(20_000, 3e-5),
+                         system_name=name, **base)
+        exact = exact_free_fermion_energy_2d(n_el, 5.0)
+        row['exact_analytic'] = round(exact, 6)
+        row['deviation_eval'] = round(row['eval_clipped'] - exact, 6)
+        row['deviation_mean'] = round(row['eval_mean'] - exact, 6)
+        out[key] = row
+        _save(out)
+
+
 def _timed_train(trainer, budget_s, window):
     """Train whole windows until the wall budget is spent (post-compile).
     Returns (epochs_done, measure_wall_s)."""
@@ -285,7 +307,8 @@ def main():
     args = ap.parse_args()
     out = json.loads(OUT.read_text()) if OUT.exists() else {}
     stages = {'antisym': stage_antisym, 'li_refresh': stage_li_refresh,
-              'box4': stage_box4, 'ng_scale': stage_ng_scale}
+              'box4': stage_box4, 'ng_scale': stage_ng_scale,
+              'antisym2d_free': stage_antisym2d_free}
     for name, fn in stages.items():
         if args.only and not name.startswith(args.only):
             continue

@@ -148,3 +148,35 @@ def test_trainer_antisym_rejects_ancestral():
         VMCTrainer(VMCConfig(system_name='He', n_space_dimension=2,
                              ansatz='antisym', sampler='ancestral',
                              compilation_cache_dir=None))
+
+
+def test_free_fermion_energy_2d():
+    """Analytic 2D free-fermion oracle: level filling of
+    (nx²+ny²)π²/(2(2L)²)."""
+    from waveflow_tpu.physics.exact import exact_free_fermion_energy_2d
+    L = 5.0
+    unit = np.pi ** 2 / (2 * (2 * L) ** 2)
+    np.testing.assert_allclose(exact_free_fermion_energy_2d(1, L), 2 * unit)
+    np.testing.assert_allclose(exact_free_fermion_energy_2d(2, L), 7 * unit)
+    np.testing.assert_allclose(exact_free_fermion_energy_2d(3, L), 12 * unit)
+    np.testing.assert_allclose(exact_free_fermion_energy_2d(4, L), 20 * unit)
+    # levels 2, 5, 5, 8, 10 — (2,2)=8 fills before the (1,3)/(3,1) pair
+    np.testing.assert_allclose(exact_free_fermion_energy_2d(5, L), 30 * unit)
+
+
+def test_trainer_antisym_2d_3e_smoke():
+    """First 3-electron 2D configuration: 6-term antisymmetrization over
+    a 6-dimensional square-flow, Metropolis-trained (CPU smoke)."""
+    from waveflow_tpu.vmc import VMCConfig, VMCTrainer
+    cfg = VMCConfig(system_name='box3', n_space_dimension=2, box_length=5.0,
+                    ansatz='antisym', sampler='metropolis',
+                    interactions=False,
+                    batch_size=32, window=3, num_epochs=6, log_every=6,
+                    num_knots=6, n_flow_layers=1, spline_degree=4,
+                    n_spline_base_mesh_points=400,
+                    save_dir='/tmp/test_antisym_2d3e',
+                    compilation_cache_dir=None)
+    t = VMCTrainer(cfg)
+    assert t.input_dim == 6 and t.ansatz == 'antisym'
+    losses = t.train(num_epochs=6, verbose=False)
+    assert np.isfinite(np.asarray(losses)).all()

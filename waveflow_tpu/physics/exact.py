@@ -317,6 +317,23 @@ def exact_free_fermion_energy(n_electrons: int, box_length: float) -> float:
                  * np.pi ** 2 / (2.0 * width ** 2))
 
 
+def exact_free_fermion_energy_2d(n_electrons: int,
+                                 box_length: float) -> float:
+    """Exact ground energy of n non-interacting spinless fermions in the
+    2D box [-L, L]² with Dirichlet walls: fill the n lowest levels
+    E_{nx,ny} = (nx² + ny²)π²/(2(2L)²), nx, ny ≥ 1.  Analytic — the
+    oracle for antisymmetric 2D ansatze beyond n=2, where pair-basis grid
+    ED (exact_ground_state_2d_2e) is intractable.  Note the 2D spectrum
+    is degenerate ((1,2)/(2,1) etc.); the ground ENERGY is always
+    well-defined (sum of the n smallest values with multiplicity)."""
+    width = 2.0 * box_length
+    k = 1 + int(np.ceil(np.sqrt(n_electrons)))  # safe enumeration bound
+    levels = sorted((nx * nx + ny * ny)
+                    for nx in range(1, k + 2) for ny in range(1, k + 2))
+    return float(sum(levels[:n_electrons]) * np.pi ** 2
+                 / (2.0 * width ** 2))
+
+
 def richardson_ground_energy_1d(protons, n_electrons: int, box_length: float,
                                 n_grids=None):
     """GRID-CONVERGED 1D ground energy via h² Richardson extrapolation.

@@ -35,6 +35,11 @@ system_catalogue = {
         'Be': (np.array([[0.0], [0.0], [0.0], [0.0]]), 4),
     },
     2: {
+        # 2D box fermions: with interactions=False the exact ground energy
+        # is analytic (exact_free_fermion_energy_2d) — the oracle for the
+        # antisym ansatz beyond n=2, where 2D pair-basis ED is intractable
+        'box2': (np.array([]), 2),
+        'box3': (np.array([]), 3),
         'H': (np.array([[0.0, 0.0]]), 1),
         'He+': (np.array([[0.0, 0.0], [0.0, 0.0]]), 1),
         'H2+': (np.array([[-0.9, 0.0], [0.9, 0.0]]), 1),
