@@ -46,5 +46,9 @@ system_catalogue = {
         'H2+_wide': (np.array([[-3.0, 0.0], [3.0, 0.0]]), 1),
         'He': (np.array([[0.0, 0.0], [0.0, 0.0]]), 2),
         'H2': (np.array([[-0.9, 0.0], [0.9, 0.0]]), 2),
+        # 2D soft-Coulomb Li analog: 3 electrons, triple-charged center —
+        # no oracle exists (2D ED is intractable at n=3); judged
+        # variationally with the antisym ansatz
+        'Li': (np.array([[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]), 3),
     },
 }
