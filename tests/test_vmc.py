@@ -691,3 +691,39 @@ def test_mcmc_refresh_auto_for_three_fermions():
     losses = t.train(num_epochs=12, verbose=False)
     assert np.isfinite(np.asarray(losses)).all()
     assert len(losses) == 12
+
+
+def test_clip_ladder_extrapolation():
+    """The multi-scale clip ladder: on a light-tailed model the ladder
+    means converge monotonically toward the raw mean and the 1/scale
+    extrapolation agrees with it within error."""
+    import jax
+    import numpy as np
+    from waveflow_tpu.models import get_waveflow_model
+    from waveflow_tpu.physics import (construct_hamiltonian_function,
+                                      system_catalogue)
+    from waveflow_tpu.vmc.evaluate import evaluate_energy
+
+    protons, n_particle = system_catalogue[1]['He']
+    init = get_waveflow_model(n_particle, base_spline_degree=4,
+                              i_spline_degree=4, n_prior_internal_knots=8,
+                              n_i_internal_knots=8, i_spline_reg=0.1,
+                              n_flow_layers=1, box_size=5.0,
+                              xu_coord_type='mean',
+                              n_spline_base_mesh_points=300)
+    params, psi, log_pdf, sample = init(jax.random.PRNGKey(0), n_particle)
+    h_fn = construct_hamiltonian_function(psi, protons=protons,
+                                          n_space_dimensions=1, eps=0.0)
+    pos = sample(jax.random.PRNGKey(1), params, 256)
+    ev = evaluate_energy(psi, h_fn, log_pdf, params, 5.0, pos,
+                         jax.random.PRNGKey(2), n_blocks=16,
+                         sweeps_per_block=5, n_warmup_sweeps=20,
+                         clip_ladder=True)
+    assert len(ev.clip_ladder_scales) == 4
+    assert ev.clip_ladder_scales[0] == 5.0
+    assert np.isfinite(ev.e_clip_extrapolated)
+    # ladder converges to the raw mean; extrapolation within a few stderr
+    assert abs(ev.clip_ladder_means[-1] - ev.e_mean) <= \
+        abs(ev.clip_ladder_means[0] - ev.e_mean) + 1e-6
+    assert abs(ev.e_clip_extrapolated - ev.e_mean) < \
+        5 * max(ev.e_stderr, ev.e_clip_extrapolated_stderr, 1e-4)

@@ -45,6 +45,19 @@ class EnergyEvaluation(NamedTuple):
     # doubling means residual autocorrelation and an underestimated bar.
     e_stderr_2x: float = float('nan')
     e_stderr_4x: float = float('nan')
+    # multi-scale clip ladder (opt-in, clip_ladder=True): blocked clipped
+    # means at clip_scale × (1, 2, 4, 8) and their 1/scale → 0 linear
+    # extrapolation.  Rationale: for heavy-tailed E_L (big-ansatz nodal
+    # surfaces) the raw mean converges too slowly to respect the
+    # variational bound at feasible sample sizes, while any single clip
+    # scale carries an O(1/scale) winsorization bias; the ladder measures
+    # the bias slope and removes it at far lower variance than the raw
+    # mean (RESULTS.md round-5 big-ansatz note).
+    clip_ladder_scales: tuple = ()
+    clip_ladder_means: tuple = ()
+    clip_ladder_stderrs: tuple = ()
+    e_clip_extrapolated: float = float('nan')
+    e_clip_extrapolated_stderr: float = float('nan')
 
 
 def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
@@ -52,7 +65,8 @@ def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
                     n_blocks: int = 64, sweeps_per_block: int = 25,
                     n_warmup_sweeps: int = 250, step_size: float = 0.4,
                     sort_fermions: bool | str = True,
-                    clip_scale: float = 5.0) -> EnergyEvaluation:
+                    clip_scale: float = 5.0,
+                    clip_ladder: bool = False) -> EnergyEvaluation:
     """Blocked Metropolis estimate of ⟨E_L⟩ at FROZEN params.
 
     positions: (B, D) initial walkers — exact ancestral draws start the
@@ -85,6 +99,8 @@ def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
         frozen_step = lambda st, k: step_fn(params, st, k)._replace(
             step_size=st.step_size)
 
+        ladder = (1.0, 2.0, 4.0, 8.0) if clip_ladder else ()
+
         def block(st, k):
             def body(s, kk):
                 return frozen_step(s, kk), None
@@ -95,21 +111,47 @@ def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
             mad = jnp.mean(jnp.abs(e - center))
             e_c = jnp.clip(e, center - clip_scale * mad,
                            center + clip_scale * mad)
-            return st, (e.mean(), center, e_c.mean(), st.accept_rate)
+            lad = jnp.stack([
+                jnp.clip(e, center - clip_scale * m * mad,
+                         center + clip_scale * m * mad).mean()
+                for m in ladder]) if ladder else jnp.zeros((0,))
+            return st, (e.mean(), center, e_c.mean(), st.accept_rate, lad)
 
         keys = jax.random.split(rng, n_blocks)
-        state, (means, medians, cmeans, rates) = jax.lax.scan(
+        state, (means, medians, cmeans, rates, lads) = jax.lax.scan(
             block, state, keys)
-        return state, means, medians, cmeans, rates
+        return state, means, medians, cmeans, rates, lads
 
     state = init_fn(params, jnp.asarray(positions), step_size=step_size)
     rng_w, rng_m = jax.random.split(rng)
     state = warmup(state, rng_w)
-    state, means, medians, cmeans, rates = measure(state, rng_m)
+    state, means, medians, cmeans, rates, lads = measure(state, rng_m)
 
     means = np.asarray(means)
     cmeans = np.asarray(cmeans)
     B = int(np.asarray(positions).shape[0])
+
+    ladder_kw = {}
+    if clip_ladder:
+        lads = np.asarray(lads)                        # (n_blocks, n_scales)
+        scales = clip_scale * np.asarray((1.0, 2.0, 4.0, 8.0))
+        l_means = lads.mean(0)
+        l_errs = lads.std(0, ddof=1) / np.sqrt(n_blocks)
+        # weighted linear fit of mean(scale) vs 1/scale; intercept = the
+        # scale → ∞ (unclipped) limit with the winsorization bias removed
+        x = 1.0 / scales
+        w = 1.0 / np.maximum(l_errs, 1e-12) ** 2
+        sw, sx, sy = w.sum(), (w * x).sum(), (w * l_means).sum()
+        sxx, sxy = (w * x * x).sum(), (w * x * l_means).sum()
+        det = sw * sxx - sx * sx
+        intercept = (sxx * sy - sx * sxy) / det
+        var_int = sxx / det
+        ladder_kw = dict(
+            clip_ladder_scales=tuple(float(s) for s in scales),
+            clip_ladder_means=tuple(round(float(v), 6) for v in l_means),
+            clip_ladder_stderrs=tuple(round(float(v), 7) for v in l_errs),
+            e_clip_extrapolated=float(intercept),
+            e_clip_extrapolated_stderr=float(np.sqrt(var_int)))
 
     def _doubled_stderr(m: np.ndarray, factor: int) -> float:
         k = (len(m) // factor) * factor
@@ -128,12 +170,14 @@ def evaluate_energy(psi, h_fn, log_pdf, params, box_length: float,
         n_samples=n_blocks * B,
         block_means=means,
         e_stderr_2x=_doubled_stderr(means, 2),
-        e_stderr_4x=_doubled_stderr(means, 4))
+        e_stderr_4x=_doubled_stderr(means, 4),
+        **ladder_kw)
 
 
 def evaluate_trainer(trainer, n_blocks: int = 64, sweeps_per_block: int = 25,
                      n_warmup_sweeps: int = 250, batch_size: int | None = None,
-                     seed: int = 7) -> EnergyEvaluation:
+                     seed: int = 7, clip_ladder: bool = False
+                     ) -> EnergyEvaluation:
     """Convenience wrapper: frozen-params evaluation of a (possibly
     checkpoint-restored) VMCTrainer, warm-started from exact ancestral
     draws."""
@@ -164,4 +208,5 @@ def evaluate_trainer(trainer, n_blocks: int = 64, sweeps_per_block: int = 25,
         trainer.psi, trainer.h_fn, trainer.log_pdf, trainer.params,
         c.box_length, positions, rng, n_blocks=n_blocks,
         sweeps_per_block=sweeps_per_block,
-        n_warmup_sweeps=n_warmup_sweeps, sort_fermions=sort_fermions)
+        n_warmup_sweeps=n_warmup_sweeps, sort_fermions=sort_fermions,
+        clip_ladder=clip_ladder)
